@@ -1,0 +1,123 @@
+"""Shuffled multi-file parquet writer.
+
+Analog of the reference's write-time shuffle (`Shuffle.PER_PARTITION` /
+`PER_WORKER` appends to N files per worker — reference behavior documented at
+bench/examples/MultiGPUBench.md "Shuffling"/"Output-File Count", exercised at
+tests/unit/test_dask_nvt.py:105-112).
+
+Design: each output file gets a ParquetWriter kept open across partitions.
+PER_PARTITION permutes each partition then splits it round-robin across the
+files. PER_WORKER buffers several partitions, permutes the concatenation, and
+appends — approximating a global shuffle with bounded memory. FULL sorts a
+random key across the whole dataset (small data only).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..table import TableBatch, concat_rows
+from .shuffle import Shuffle
+
+
+class ParquetWriter:
+    """Append-mode writer over a fixed set of output files."""
+
+    def __init__(self, output_path: str, num_files: int = 1, row_group_size: Optional[int] = None):
+        os.makedirs(output_path, exist_ok=True)
+        self.output_path = output_path
+        self.num_files = max(1, num_files)
+        self.row_group_size = row_group_size
+        self._writers = [None] * self.num_files
+        self._paths = [
+            os.path.join(output_path, f"part_{i}.parquet") for i in range(self.num_files)
+        ]
+        self._next = 0
+
+    def append(self, batch: TableBatch, file_idx: Optional[int] = None):
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return
+        idx = self._next if file_idx is None else file_idx % self.num_files
+        if file_idx is None:
+            self._next = (self._next + 1) % self.num_files
+        table = batch.to_arrow()
+        if self._writers[idx] is None:
+            self._writers[idx] = pq.ParquetWriter(self._paths[idx], table.schema)
+        self._writers[idx].write_table(table, row_group_size=self.row_group_size)
+
+    def append_split(self, batch: TableBatch):
+        """Split one batch evenly across all output files."""
+        n = batch.num_rows
+        if n == 0:
+            return
+        per = max(1, n // self.num_files)
+        start = 0
+        for i in range(self.num_files):
+            length = per if i < self.num_files - 1 else n - start
+            if length <= 0:
+                break
+            self.append(batch.slice(start, length), file_idx=i)
+            start += length
+
+    def close(self) -> List[str]:
+        for w in self._writers:
+            if w is not None:
+                w.close()
+        return [p for p, w in zip(self._paths, self._writers) if w is not None]
+
+
+def write_dataset(
+    dataset,
+    output_path: str,
+    shuffle: Optional[Shuffle] = None,
+    out_files: int = 1,
+    row_group_size: Optional[int] = None,
+    buffer_partitions: int = 4,
+    seed: int = 42,
+):
+    writer = ParquetWriter(output_path, out_files, row_group_size)
+    rng = np.random.default_rng(seed)
+
+    if shuffle == Shuffle.FULL:
+        table = dataset.to_table()
+        perm = rng.permutation(table.num_rows)
+        writer.append_split(table.take(perm))
+    elif shuffle == Shuffle.PER_WORKER:
+        buf: List[TableBatch] = []
+        for batch in dataset.to_batches(prefetch=1):
+            buf.append(batch.to_host())
+            if len(buf) >= buffer_partitions:
+                _flush_shuffled(writer, buf, rng)
+                buf = []
+        if buf:
+            _flush_shuffled(writer, buf, rng)
+    elif shuffle == Shuffle.PER_PARTITION:
+        for batch in dataset.to_batches(prefetch=1):
+            batch = batch.to_host()
+            perm = rng.permutation(batch.num_rows)
+            writer.append_split(batch.take(perm))
+    else:
+        for batch in dataset.to_batches(prefetch=1):
+            writer.append(batch.to_host())
+    paths = writer.close()
+    _write_metadata(output_path, paths)
+    return paths
+
+
+def _flush_shuffled(writer: ParquetWriter, buf: List[TableBatch], rng):
+    merged = concat_rows(buf)
+    perm = rng.permutation(merged.num_rows)
+    writer.append_split(merged.take(perm))
+
+
+def _write_metadata(output_path: str, paths: List[str]):
+    import json
+
+    meta = {"files": [os.path.basename(p) for p in paths]}
+    with open(os.path.join(output_path, "_metadata.json"), "w") as f:
+        json.dump(meta, f)

@@ -1,0 +1,660 @@
+"""Categorify — dictionary-encode categorical columns.
+
+TPU-native re-design of the reference's flagship operator
+(nvtabular/ops/categorify.py, 1916 LoC). Same semantics:
+
+* Encoding layout (reference categorify.py:66-71 and the C++ kernel's
+  NULL_INDEX=1/OOV_INDEX=2/UNIQUE_OFFSET=3): code 0 = padding, 1 = null,
+  [2, 2+num_buckets) = out-of-vocabulary hash buckets (default 1 bucket),
+  then vocabulary ids in descending-frequency order from 2+num_buckets.
+* Options: per-column-dict-or-scalar `freq_threshold`, `max_size`,
+  `num_buckets`; pre-supplied `vocabs`; `encode_type="joint"|"combo"`
+  (shared vocab across a column subgroup vs. one crossed column);
+  `single_table` (one contiguous global index space across all columns,
+  reference categorify.py:404-415); parquet vocab artifacts; embedding-size
+  rule `(n, clamp(round(1.6 n^0.56), 16, 512))` (reference :687-688).
+
+TPU-first implementation differences (the whole point):
+
+* Fit is a STREAMING single scan: each batch's value counts come from
+  pyarrow's C++ hash aggregation (`value_counts`), partials are re-aggregated
+  with arrow `Table.group_by("value").sum()` whenever they grow past a
+  budget, and the final vocabulary is sorted by (-count, value) —
+  deterministic, unlike the reference's dask-task ordering. Across hosts the
+  partial (value, count) tables merge by concat+re-aggregate — the host-side
+  analog of the reference's tree reduction (categorify.py:1344-1540), with
+  jax all-to-all sharding available in parallel/sharded_vocab.py for
+  pod-scale vocabularies (SURVEY.md §2.8 P3).
+* Transform lookup is dtype-split: string columns use arrow `index_in`
+  (C++ hash probe, host); numeric columns use a SORTED-vocab binary search
+  (jnp.searchsorted) that is pure XLA — jit-fusable with the rest of the
+  graph and identical on host numpy. Codes default to int32 (TPU-friendly;
+  the reference emits int64).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import dtypes as md
+from ..dispatch import hash_array
+from ..selector import ColumnSelector
+from ..table import Column, TableBatch, xnp
+from ..tags import Tags
+from .operator import Operator
+from .stat_operator import StatOperator
+
+PAD_INDEX = 0
+NULL_INDEX = 1
+OOV_OFFSET = 2
+
+
+def _pa_array(values: np.ndarray):
+    """numpy → arrow array; object arrays sanitize NaN/None to null."""
+    import pyarrow as pa
+
+    if values.dtype.kind != "O":
+        return pa.array(values)
+    cleaned = [
+        None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+        for v in values
+    ]
+    return pa.array(cleaned)
+
+_ACCUM_REAGG_ROWS = 4_000_000  # re-aggregate partial counts past this size
+
+
+def _per_column(option, key, default):
+    """dict-or-scalar option pattern (reference categorify.py:206-343)."""
+    if option is None:
+        return default
+    if isinstance(option, dict):
+        return option.get(key, default)
+    return option
+
+
+def _emb_sz_rule(n_cat: int, minimum_size=16, maximum_size=512) -> Tuple[int, int]:
+    return n_cat, min(max(minimum_size, round(1.6 * n_cat**0.56)), maximum_size)
+
+
+class _VocabAccum:
+    """Streaming (value, count) accumulator backed by arrow group_by."""
+
+    def __init__(self):
+        self.partials: List = []  # list of pa.Table(value, count)
+        self.rows = 0
+        self.null_count = 0
+
+    def update(self, values: np.ndarray, validity: Optional[np.ndarray]):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if validity is not None:
+            self.null_count += int((~validity).sum())
+            values = values[validity]
+        if values.dtype.kind == "f":
+            nan = np.isnan(values)
+            if nan.any():
+                self.null_count += int(nan.sum())
+                values = values[~nan]
+        if len(values) == 0:
+            return
+        arr = _pa_array(values)
+        vc = arr.value_counts()  # StructArray<values, counts>
+        tbl = pa.table(
+            {"value": vc.field("values"), "count": vc.field("counts").cast(pa.int64())}
+        )
+        self.partials.append(tbl)
+        self.rows += tbl.num_rows
+        if self.rows > _ACCUM_REAGG_ROWS:
+            self._reaggregate()
+
+    def _reaggregate(self):
+        import pyarrow as pa
+
+        merged = pa.concat_tables(self.partials)
+        agg = merged.group_by("value").aggregate([("count", "sum")])
+        agg = agg.rename_columns(["value", "count"])
+        self.partials = [agg]
+        self.rows = agg.num_rows
+
+    def merge(self, other: "_VocabAccum") -> "_VocabAccum":
+        self.partials.extend(other.partials)
+        self.rows += other.rows
+        self.null_count += other.null_count
+        return self
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray, int]:
+        """→ (values sorted by (-count, value), counts, null_count)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not self.partials:
+            return np.array([], dtype=object), np.array([], dtype=np.int64), self.null_count
+        self._reaggregate()
+        tbl = self.partials[0]
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[("count", "descending"), ("value", "ascending")],
+        )
+        tbl = tbl.take(order)
+        values = tbl.column("value").to_numpy(zero_copy_only=False)
+        counts = tbl.column("count").to_numpy(zero_copy_only=False)
+        return values, counts, self.null_count
+
+
+class _Vocab:
+    """A fitted per-group vocabulary with host and device lookup paths."""
+
+    __slots__ = (
+        "values_by_code",
+        "counts",
+        "sorted_values",
+        "sorted_codes",
+        "num_buckets",
+        "start_index",
+        "offset",
+        "dtype_kind",
+        "_device_cache",
+        "_pa_value_set",
+    )
+
+    def __init__(self, values_by_code, counts, num_buckets):
+        self.values_by_code = values_by_code  # frequency-descending order
+        self.counts = counts
+        self.num_buckets = max(1, int(num_buckets))
+        self.start_index = OOV_OFFSET + self.num_buckets
+        self.offset = 0  # single_table shift
+        self.dtype_kind = (
+            np.asarray(values_by_code).dtype.kind if len(values_by_code) else "O"
+        )
+        if self.dtype_kind != "O":
+            order = np.argsort(values_by_code, kind="stable")
+            self.sorted_values = np.asarray(values_by_code)[order]
+            self.sorted_codes = (order + self.start_index).astype(np.int64)
+        else:
+            self.sorted_values = None
+            self.sorted_codes = None
+        self._device_cache = None
+        self._pa_value_set = None
+
+    @property
+    def size(self) -> int:
+        """Total domain size including pad/null/OOV."""
+        return self.start_index + len(self.values_by_code)
+
+    # --- host lookup -------------------------------------------------------
+    def encode_host(self, values: np.ndarray, validity: Optional[np.ndarray]) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self.dtype_kind != "O" and values.dtype.kind != "O":
+            codes = self._encode_numeric_np(values)
+        else:
+            if self._pa_value_set is None:
+                self._pa_value_set = _pa_array(np.asarray(self.values_by_code, dtype=object) if getattr(self.values_by_code, "dtype", np.dtype("O")).kind == "O" else np.asarray(self.values_by_code))
+            arr = _pa_array(values)
+            idx = pc.index_in(arr, value_set=self._pa_value_set)
+            idx_np = idx.to_numpy(zero_copy_only=False)
+            found = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx.is_valid().to_numpy(zero_copy_only=False)
+            codes = np.where(
+                found,
+                np.nan_to_num(idx_np, nan=0).astype(np.int64) + self.start_index,
+                self._oov_codes_np(values),
+            )
+        nulls = np.zeros(len(values), dtype=bool)
+        if validity is not None:
+            nulls |= ~validity
+        if values.dtype.kind == "f":
+            nulls |= np.isnan(values)
+        elif values.dtype.kind == "O":
+            nulls |= np.array([v is None for v in values], dtype=bool)
+        codes = np.where(nulls, NULL_INDEX, codes)
+        return codes + self.offset
+
+    def _encode_numeric_np(self, values: np.ndarray) -> np.ndarray:
+        if self.sorted_values is None or len(self.sorted_values) == 0:
+            return self._oov_codes_np(values)
+        pos = np.searchsorted(self.sorted_values, values, side="left")
+        pos_c = np.clip(pos, 0, len(self.sorted_values) - 1)
+        hit = self.sorted_values[pos_c] == values
+        codes = np.where(hit, self.sorted_codes[pos_c], self._oov_codes_np(values))
+        return codes
+
+    def _oov_codes_np(self, values: np.ndarray) -> np.ndarray:
+        if self.num_buckets == 1:
+            return np.full(len(values), OOV_OFFSET, dtype=np.int64)
+        h = hash_array(values)
+        return (h % np.uint32(self.num_buckets)).astype(np.int64) + OOV_OFFSET
+
+    # --- device lookup -------------------------------------------------------
+    def device_arrays(self):
+        """(sorted_values, sorted_codes) as jax arrays, cached in HBM —
+        the worker-cache analog (reference merlin.io.worker, P4)."""
+        if self._device_cache is None:
+            import jax.numpy as jnp
+
+            sv = self.sorted_values
+            if sv.dtype == np.int64:
+                # narrow when safe: int32 searchsorted is faster on TPU
+                if len(sv) == 0 or (
+                    sv.min() >= np.iinfo(np.int32).min and sv.max() <= np.iinfo(np.int32).max
+                ):
+                    sv = sv.astype(np.int32)
+            self._device_cache = (
+                jnp.asarray(sv),
+                jnp.asarray(self.sorted_codes.astype(np.int32)),
+            )
+        return self._device_cache
+
+    def encode_device(self, values, validity):
+        import jax.numpy as jnp
+
+        sv, sc = self.device_arrays()
+        vals = values.astype(sv.dtype)
+        if len(self.values_by_code):
+            pos = jnp.searchsorted(sv, vals, side="left")
+            pos_c = jnp.clip(pos, 0, sv.shape[0] - 1)
+            hit = sv[pos_c] == vals
+            codes = jnp.where(hit, sc[pos_c], self._oov_codes_dev(values))
+        else:
+            codes = self._oov_codes_dev(values)
+        nulls = jnp.zeros(values.shape, dtype=bool)
+        if validity is not None:
+            nulls |= ~validity
+        if values.dtype.kind == "f":
+            nulls |= jnp.isnan(values)
+        codes = jnp.where(nulls, NULL_INDEX, codes)
+        return codes + self.offset
+
+    def _oov_codes_dev(self, values):
+        import jax.numpy as jnp
+
+        if self.num_buckets == 1:
+            return jnp.full(values.shape, OOV_OFFSET, dtype=jnp.int32)
+        h = hash_array(values)
+        return (h % np.uint32(self.num_buckets)).astype(jnp.int32) + OOV_OFFSET
+
+
+class Categorify(StatOperator):
+    def __init__(
+        self,
+        freq_threshold: Union[int, Dict[str, int]] = 0,
+        out_path: Optional[str] = None,
+        cat_cache: Union[str, Dict[str, str]] = "host",
+        dtype=None,
+        on_host: bool = True,
+        encode_type: str = "joint",
+        vocabs: Optional[Dict[str, Any]] = None,
+        max_size: Union[int, Dict[str, int]] = 0,
+        num_buckets: Union[None, int, Dict[str, int]] = None,
+        single_table: bool = False,
+        search_sorted: bool = False,
+        split_out=None,
+        split_every=None,
+        cardinality_memory_limit=None,
+        **kwargs,
+    ):
+        super().__init__()
+        if encode_type not in ("joint", "combo"):
+            raise ValueError(f"encode_type must be 'joint' or 'combo', got {encode_type!r}")
+        self.freq_threshold = freq_threshold
+        self.out_path = out_path or "./categories"
+        self.cat_cache = cat_cache
+        self.dtype = dtype
+        self.on_host = on_host
+        self.encode_type = encode_type
+        self.max_size = max_size
+        self.num_buckets = num_buckets
+        self.single_table = single_table
+        self.search_sorted = search_sorted
+        # accepted for API parity; partitioning is handled by the engine
+        self.split_out = split_out
+        self.split_every = split_every
+        self.cardinality_memory_limit = cardinality_memory_limit
+
+        self.vocabs: Dict[str, _Vocab] = {}
+        self.categories: Dict[str, str] = {}  # group key -> vocab parquet path
+        if vocabs is not None:
+            self._load_supplied_vocabs(vocabs)
+
+    # ------------------------------------------------------------------
+    # group structure
+    # ------------------------------------------------------------------
+    def _groups(self, col_selector: ColumnSelector) -> List[Tuple[str, List[str]]]:
+        """→ [(group_key, member_columns)]. joint subgroups share one vocab;
+        combo subgroups form one crossed output column."""
+        groups: List[Tuple[str, List[str]]] = []
+        for entry in col_selector.grouped_names:
+            if isinstance(entry, tuple):
+                key = "_".join(entry)
+                groups.append((key, list(entry)))
+            else:
+                groups.append((entry, [entry]))
+        return groups
+
+    def column_mapping(self, col_selector: ColumnSelector) -> Dict[str, List[str]]:
+        mapping: Dict[str, List[str]] = {}
+        for key, members in self._groups(col_selector):
+            if len(members) > 1 and self.encode_type == "combo":
+                mapping[key] = members
+            else:
+                for mcol in members:
+                    mapping[mcol] = [mcol]
+        return mapping
+
+    def _vocab_key(self, group_key: str, members: List[str], member: str) -> str:
+        """Which vocab a column group uses."""
+        if len(members) > 1:
+            return group_key  # joint or combo share the group vocab
+        return member
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit_init(self, col_selector: ColumnSelector, input_schema):
+        state: Dict[str, _VocabAccum] = {}
+        for key, members in self._groups(col_selector):
+            if key not in self.vocabs:  # pre-supplied vocabs skip fitting
+                state[key] = _VocabAccum()
+        return state
+
+    def fit_batch(self, col_selector, batch: TableBatch, state):
+        for key, members in self._groups(col_selector):
+            if key not in state:
+                continue
+            accum = state[key]
+            if len(members) > 1 and self.encode_type == "combo":
+                values, validity = _combo_values(batch, members)
+                accum.update(values, validity)
+            else:
+                for mcol in members:
+                    col = batch[mcol].to_host()
+                    vals = np.asarray(col.values)
+                    validity = (
+                        np.asarray(col.validity) if col.validity is not None else None
+                    )
+                    if col.is_list:
+                        # flatten multihots for vocab counting
+                        # (reference _maybe_flatten_list_column, :1828)
+                        validity = None
+                    accum.update(vals, validity)
+        return state
+
+    def fit_merge(self, states):
+        out = states[0]
+        for s in states[1:]:
+            for key in out:
+                out[key].merge(s[key])
+        return out
+
+    def fit_finalize(self, state):
+        for key, accum in state.items():
+            values, counts, _nulls = accum.finalize()
+            ft = _per_column(self.freq_threshold, key, 0)
+            nb = _per_column(self.num_buckets, key, 1) or 1
+            mx = _per_column(self.max_size, key, 0)
+            if ft > 0:
+                keep = counts >= ft
+                values, counts = values[keep], counts[keep]
+            if mx and mx > 0:
+                budget = max(0, mx - (OOV_OFFSET + nb))
+                values, counts = values[:budget], counts[:budget]
+            self.vocabs[key] = _Vocab(values, counts, nb)
+        if self.single_table:
+            # contiguous global index space (reference fit_finalize:404-415)
+            offset = 0
+            for key in sorted(self.vocabs):
+                self.vocabs[key].offset = offset
+                offset += self.vocabs[key].size
+        self._write_vocab_artifacts()
+
+    def _write_vocab_artifacts(self):
+        """Persist each vocab as parquet, reference `_save_encodings` analog:
+        one row per code starting at the null slot (categorify.py:811-819)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.out_path, "categories")
+        os.makedirs(out_dir, exist_ok=True)
+        for key, vocab in self.vocabs.items():
+            path = os.path.join(out_dir, f"unique.{_safe_name(key)}.parquet")
+            vals = vocab.values_by_code
+            arr = pa.array(vals.tolist() if getattr(vals, "dtype", np.dtype("O")).kind == "O" else vals)
+            counts = pa.array(np.asarray(vocab.counts, dtype=np.int64))
+            tbl = pa.table({key: arr, f"{key}_size": counts})
+            pq.write_table(tbl, path)
+            self.categories[key] = path
+
+    def clear(self):
+        super().clear()
+        self.vocabs = {}
+        self.categories = {}
+
+    def set_storage_path(self, new_path, copy=False):
+        import shutil
+
+        os.makedirs(new_path, exist_ok=True)
+        new_categories = {}
+        for key, path in self.categories.items():
+            dest = os.path.join(new_path, os.path.basename(path))
+            if copy:
+                shutil.copyfile(path, dest)
+            else:
+                shutil.move(path, dest)
+            new_categories[key] = dest
+        self.categories = new_categories
+
+    # ------------------------------------------------------------------
+    # transform
+    # ------------------------------------------------------------------
+    def is_jit_safe(self, col_selector, input_schema):
+        if input_schema is None or not self.vocabs:
+            return False
+        for cs in input_schema:
+            if cs.dtype.is_string or not cs.dtype.is_numeric:
+                return False
+        return True
+
+    def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
+        out = TableBatch()
+        for key, members in self._groups(col_selector):
+            if len(members) > 1 and self.encode_type == "combo":
+                vocab = self.vocabs[key]
+                values, validity = _combo_values(batch.to_host(), members)
+                codes = vocab.encode_host(values, validity)
+                out[key] = Column(codes.astype(self._out_dtype_np()))
+            else:
+                for mcol in members:
+                    vocab = self.vocabs[self._vocab_key(key, members, mcol)]
+                    col = batch[mcol]
+                    m = xnp(col.values)
+                    if m is np:
+                        codes = vocab.encode_host(
+                            np.asarray(col.values),
+                            np.asarray(col.validity) if col.validity is not None else None,
+                        ).astype(self._out_dtype_np())
+                    else:
+                        codes = vocab.encode_device(col.values, col.validity).astype(
+                            self._out_dtype_np()
+                        )
+                    # multihot: re-wrap encoded flat values with original offsets
+                    # (reference encode_list_column, categorify.py:1802-1803)
+                    out[mcol] = Column(codes, col.offsets)
+        return out
+
+    def _out_dtype_np(self):
+        if self.dtype is not None:
+            return md.to_numpy(self.dtype)
+        return np.dtype(np.int32)
+
+    # ------------------------------------------------------------------
+    # schema
+    # ------------------------------------------------------------------
+    @property
+    def output_dtype(self):
+        return md.normalize(self.dtype) if self.dtype is not None else md.int32
+
+    @property
+    def output_tags(self):
+        return [Tags.CATEGORICAL]
+
+    @property
+    def dynamic_dtypes(self):
+        return False
+
+    def _compute_properties(self, col_schema, input_schema):
+        key = col_schema.name
+        vocab = self.vocabs.get(key)
+        props: Dict[str, Any] = {}
+        if vocab is not None:
+            domain_max = vocab.size - 1 + vocab.offset
+            card, dim = _emb_sz_rule(vocab.size)
+            props = {
+                "num_buckets": vocab.num_buckets if vocab.num_buckets > 1 else None,
+                "freq_threshold": _per_column(self.freq_threshold, key, 0),
+                "max_size": _per_column(self.max_size, key, 0),
+                "cat_path": self.categories.get(key, os.path.join(self.out_path, "categories")),
+                "domain": {"min": 0, "max": domain_max, "name": key},
+                "embedding_sizes": {"cardinality": card, "dimension": dim},
+            }
+        return col_schema.with_properties(props)
+
+    def get_embedding_sizes(self, columns: Sequence[str]) -> Dict[str, Tuple[int, int]]:
+        out = {}
+        for name in columns:
+            vocab = self.vocabs.get(name)
+            if vocab is not None:
+                out[name] = _emb_sz_rule(vocab.size)
+        return out
+
+    # ------------------------------------------------------------------
+    # pre-supplied vocabularies (reference `vocabs=` option)
+    # ------------------------------------------------------------------
+    def _load_supplied_vocabs(self, vocabs: Dict[str, Any]):
+        for key, vocab in vocabs.items():
+            if isinstance(vocab, str):
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(vocab)
+                values = tbl.column(0).to_numpy(zero_copy_only=False)
+            elif isinstance(vocab, (list, np.ndarray)):
+                values = np.asarray(vocab)
+            elif isinstance(vocab, Column):
+                values = np.asarray(vocab.values)
+            else:
+                values = np.asarray(vocab)
+            nb = _per_column(self.num_buckets, key, 1) or 1
+            self.vocabs[key] = _Vocab(values, np.zeros(len(values), dtype=np.int64), nb)
+        if self.vocabs and not any(True for _ in ()):
+            self.fitted = len(self.vocabs) > 0
+
+    # ------------------------------------------------------------------
+    # serving fast path (C++ hash-map lookup; reference categorify.py:602-609)
+    # ------------------------------------------------------------------
+    def inference_initialize(self, col_selector, model_config=None):
+        if self.encode_type == "combo":
+            return None
+        try:
+            from ..serving import native
+
+            return native.CategorifyTransform(self.categories, num_buckets=1)
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def serialize_params(self):
+        return {
+            "freq_threshold": self.freq_threshold,
+            "out_path": self.out_path,
+            "cat_cache": self.cat_cache,
+            "dtype": md.normalize(self.dtype).name if self.dtype is not None else None,
+            "on_host": self.on_host,
+            "encode_type": self.encode_type,
+            "max_size": self.max_size,
+            "num_buckets": self.num_buckets,
+            "single_table": self.single_table,
+            "search_sorted": self.search_sorted,
+        }
+
+    def serialize_state(self):
+        if not self.fitted and not self.vocabs:
+            return None
+        return {
+            "categories": self.categories,
+            "num_buckets_by_key": {k: v.num_buckets for k, v in self.vocabs.items()},
+            "offsets_by_key": {k: v.offset for k, v in self.vocabs.items()},
+        }
+
+    def deserialize_state(self, state):
+        import pyarrow.parquet as pq
+
+        self.categories = dict(state["categories"])
+        nbs = state.get("num_buckets_by_key", {})
+        offs = state.get("offsets_by_key", {})
+        for key, path in self.categories.items():
+            tbl = pq.read_table(path)
+            values = tbl.column(0).to_numpy(zero_copy_only=False)
+            counts = (
+                tbl.column(1).to_numpy(zero_copy_only=False)
+                if tbl.num_columns > 1
+                else np.zeros(len(values), dtype=np.int64)
+            )
+            vocab = _Vocab(values, counts, nbs.get(key, 1))
+            vocab.offset = offs.get(key, 0)
+            self.vocabs[key] = vocab
+        self.fitted = True
+
+
+def _combo_values(batch: TableBatch, members: List[str]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Crossed key for combo encoding: string join of member values (host)."""
+    cols = [batch[mcol].to_host() for mcol in members]
+    parts = []
+    validity = None
+    for col in cols:
+        vals = np.asarray(col.values)
+        parts.append(vals.astype(str) if vals.dtype.kind != "O" else vals.astype(str))
+        nulls = np.asarray(col.is_null())
+        validity = ~nulls if validity is None else (validity & ~nulls)
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = np.char.add(np.char.add(combined.astype(str), "_"), p.astype(str))
+    return combined.astype(object), validity
+
+
+def _safe_name(name: str) -> str:
+    return "".join(c if c.isalnum() or c in "._-" else "_" for c in name)
+
+
+def get_embedding_sizes(source, output_dtypes=None) -> Dict[str, Tuple[int, int]]:
+    """Embedding (cardinality, dimension) per categorical column from a fitted
+    Workflow or node (reference categorify.py:616-663)."""
+    from ..workflow.workflow import Workflow
+
+    if isinstance(source, Workflow):
+        schema = source.output_schema
+        nodes = source.graph.nodes
+    else:
+        graph = source.graph if hasattr(source, "graph") else None
+        schema = source.output_schema if hasattr(source, "output_schema") else None
+        nodes = graph.nodes if graph else []
+
+    out: Dict[str, Tuple[int, int]] = {}
+    multihot: Dict[str, Tuple[int, int]] = {}
+    if schema is not None:
+        for cs in schema:
+            emb = cs.properties.get("embedding_sizes")
+            if emb:
+                pair = (emb["cardinality"], emb["dimension"])
+                if cs.is_list:
+                    multihot[cs.name] = pair
+                else:
+                    out[cs.name] = pair
+    if multihot:
+        return out, multihot
+    return out

@@ -1,0 +1,246 @@
+"""Shared streaming per-key aggregation engine.
+
+This is the analog of the reference's `_category_stats` groupby engine that
+Categorify/TargetEncoding/JoinGroupby all share (reference
+target_encoding.py:199-214, join_groupby.py:154-169, categorify.py:1543-1555).
+
+Per batch, the partial aggregates {count, sum, sum², min, max} per key come
+from pyarrow's C++ hash group_by; partials accumulate and are periodically
+re-aggregated (the streaming analog of the reference's tree reduction).
+`KeyedStats.lookup` broadcast-joins the fitted stats back onto rows via
+arrow `index_in` (C++ hash probe) — the reference's transform-time merge.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_AGG_NEEDS = {
+    "count": ("count",),
+    "sum": ("sum",),
+    "mean": ("sum", "count"),
+    "std": ("sum", "sqsum", "count"),
+    "var": ("sum", "sqsum", "count"),
+    "min": ("min",),
+    "max": ("max",),
+}
+
+_REAGG_ROWS = 4_000_000
+
+
+def combine_keys(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    """Combine multiple key columns into one string key (host path)."""
+    if len(arrays) == 1:
+        return arrays[0]
+    parts = [a.astype(str) for a in arrays]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = np.char.add(np.char.add(combined, "\x1f"), p)
+    return combined.astype(object)
+
+
+class GroupbyStatsAccum:
+    """Streaming (key → aggregates) accumulator for one key group."""
+
+    def __init__(self, key_cols: List[str], agg_specs: Dict[str, List[str]]):
+        """agg_specs: {cont_col_name: [aggs]}; '' key = row count only."""
+        self.key_cols = list(key_cols)
+        self.agg_specs = {c: list(a) for c, a in agg_specs.items()}
+        self.partials: List = []
+        self.rows = 0
+        self._needs: Dict[str, set] = {}
+        for cont, aggs in self.agg_specs.items():
+            need = set()
+            for a in aggs:
+                need.update(_AGG_NEEDS[a])
+            self._needs[cont] = need
+
+    # --- partial schema -----------------------------------------------------
+    def _partial_agg_list(self):
+        out = []
+        for cont, need in self._needs.items():
+            if "count" in need:
+                out.append((f"{cont}__cnt", "sum"))
+            if "sum" in need:
+                out.append((f"{cont}__sum", "sum"))
+            if "sqsum" in need:
+                out.append((f"{cont}__sq", "sum"))
+            if "min" in need:
+                out.append((f"{cont}__min", "min"))
+            if "max" in need:
+                out.append((f"{cont}__max", "max"))
+        out.append(("__rows", "sum"))
+        return out
+
+    def update(self, key_arrays: Sequence[np.ndarray], cont_arrays: Dict[str, np.ndarray]):
+        import pyarrow as pa
+
+        n = len(key_arrays[0])
+        data = {}
+        for name, arr in zip(self.key_cols, key_arrays):
+            data[name] = pa.array(arr.tolist() if arr.dtype.kind == "O" else arr)
+        for cont, need in self._needs.items():
+            vals = np.asarray(cont_arrays[cont], dtype=np.float64)
+            valid = ~np.isnan(vals)
+            safe = np.where(valid, vals, 0.0)
+            if "count" in need:
+                data[f"{cont}__cnt"] = pa.array(valid.astype(np.int64))
+            if "sum" in need:
+                data[f"{cont}__sum"] = pa.array(safe)
+            if "sqsum" in need:
+                data[f"{cont}__sq"] = pa.array(safe * safe)
+            if "min" in need:
+                data[f"{cont}__min"] = pa.array(np.where(valid, vals, np.inf))
+            if "max" in need:
+                data[f"{cont}__max"] = pa.array(np.where(valid, vals, -np.inf))
+        data["__rows"] = pa.array(np.ones(n, dtype=np.int64))
+        tbl = pa.table(data)
+        partial = tbl.group_by(self.key_cols).aggregate(self._partial_agg_list())
+        partial = _strip_agg_suffixes(partial, self.key_cols)
+        self.partials.append(partial)
+        self.rows += partial.num_rows
+        if self.rows > _REAGG_ROWS:
+            self._reaggregate()
+
+    def _reaggregate(self):
+        import pyarrow as pa
+
+        if len(self.partials) <= 1:
+            return
+        merged = pa.concat_tables(self.partials, promote_options="permissive")
+        agg = merged.group_by(self.key_cols).aggregate(self._partial_agg_list())
+        agg = _strip_agg_suffixes(agg, self.key_cols)
+        self.partials = [agg]
+        self.rows = agg.num_rows
+
+    def merge(self, other: "GroupbyStatsAccum") -> "GroupbyStatsAccum":
+        self.partials.extend(other.partials)
+        self.rows += other.rows
+        return self
+
+    def finalize(self) -> "KeyedStats":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not self.partials:
+            return KeyedStats(self.key_cols, {}, np.array([], dtype=object), {})
+        self._reaggregate()
+        tbl = self.partials[0]
+        order = pc.sort_indices(
+            tbl, sort_keys=[(k, "ascending") for k in self.key_cols]
+        )
+        tbl = tbl.take(order)
+        key_arrays = [
+            tbl.column(k).to_numpy(zero_copy_only=False) for k in self.key_cols
+        ]
+        raw = {
+            name: tbl.column(name).to_numpy(zero_copy_only=False)
+            for name in tbl.column_names
+            if name not in self.key_cols
+        }
+        stats: Dict[str, np.ndarray] = {"__rows": raw["__rows"].astype(np.float64)}
+        for cont, aggs in self.agg_specs.items():
+            cnt = raw.get(f"{cont}__cnt")
+            s = raw.get(f"{cont}__sum")
+            sq = raw.get(f"{cont}__sq")
+            for a in aggs:
+                key = f"{cont}.{a}" if cont else a
+                if a == "count":
+                    stats[key] = cnt.astype(np.float64)
+                elif a == "sum":
+                    stats[key] = s
+                elif a == "mean":
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        stats[key] = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+                elif a in ("std", "var"):
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        # ddof=1 to match the reference's moments (SURVEY §2.2)
+                        v = (sq - s * s / np.maximum(cnt, 1)) / np.maximum(cnt - 1, 1)
+                        v = np.where(cnt > 1, np.maximum(v, 0.0), np.nan)
+                    stats[key] = np.sqrt(v) if a == "std" else v
+                elif a == "min":
+                    stats[key] = raw[f"{cont}__min"]
+                elif a == "max":
+                    stats[key] = raw[f"{cont}__max"]
+        combined = combine_keys(key_arrays)
+        return KeyedStats(self.key_cols, stats, combined, {k: a for k, a in zip(self.key_cols, key_arrays)})
+
+
+def _strip_agg_suffixes(tbl, key_cols):
+    """arrow names group_by outputs '<col>_sum' etc; restore partial names."""
+    new_names = []
+    for name in tbl.column_names:
+        if name in key_cols:
+            new_names.append(name)
+            continue
+        for suffix in ("_sum", "_min", "_max", "_count"):
+            if name.endswith(suffix):
+                base = name[: -len(suffix)]
+                new_names.append(base)
+                break
+        else:
+            new_names.append(name)
+    return tbl.rename_columns(new_names)
+
+
+class KeyedStats:
+    """Fitted per-key statistics with a broadcast-join lookup."""
+
+    def __init__(self, key_cols, stats: Dict[str, np.ndarray], combined_keys, key_arrays):
+        self.key_cols = key_cols
+        self.stats = stats
+        self.combined_keys = combined_keys  # aligned with stat arrays
+        self.key_arrays = key_arrays
+        self._value_set = None
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.combined_keys)
+
+    def row_indices(self, key_arrays: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (index into stats arrays, found mask) for each input row."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        combined = combine_keys([np.asarray(a) for a in key_arrays])
+        if self._value_set is None:
+            ck = self.combined_keys
+            self._value_set = pa.array(
+                ck.tolist() if getattr(ck, "dtype", np.dtype("O")).kind == "O" else ck
+            )
+        arr = pa.array(combined.tolist() if combined.dtype.kind == "O" else combined)
+        idx = pc.index_in(arr, value_set=self._value_set)
+        found = idx.is_valid().to_numpy(zero_copy_only=False)
+        idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return idx_np, found
+
+    def lookup(self, key_arrays: Sequence[np.ndarray], stat: str, default=np.nan) -> np.ndarray:
+        idx, found = self.row_indices(key_arrays)
+        vals = self.stats[stat][idx]
+        return np.where(found, vals, default)
+
+    # --- persistence ------------------------------------------------------
+    def to_arrow(self):
+        import pyarrow as pa
+
+        data = {}
+        for k, arr in self.key_arrays.items():
+            data[k] = pa.array(arr.tolist() if arr.dtype.kind == "O" else arr)
+        for name, arr in self.stats.items():
+            data[name] = pa.array(arr)
+        return pa.table(data)
+
+    @classmethod
+    def from_arrow(cls, tbl, key_cols):
+        key_arrays = {
+            k: tbl.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        }
+        stats = {
+            n: tbl.column(n).to_numpy(zero_copy_only=False)
+            for n in tbl.column_names
+            if n not in key_cols
+        }
+        combined = combine_keys([key_arrays[k] for k in key_cols])
+        return cls(key_cols, stats, combined, key_arrays)

@@ -1,0 +1,161 @@
+"""Streaming moments accumulators — the statistics engine under
+Normalize/DataStats/TargetEncoding's global mean.
+
+Replaces the reference's dask tree-reduction (`nvtabular/ops/moments.py:28-116`:
+per-partition {count, sum, sum²} → split_every=32 tree → mean/var/std with
+ddof=1). Here the same algebra runs as a *streaming* accumulator: each batch
+contributes {count, sum, sum²} (computed on device when the batch lives in
+HBM — XLA reduces in one fused kernel), accumulated in float64 on host.
+Across hosts, states merge by simple addition (`merge`), which the parallel
+module maps onto `jax.lax.psum` over the mesh (SURVEY.md §2.8 P2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..table import Column, TableBatch, xnp
+
+
+class ColumnMoments:
+    __slots__ = ("count", "sum", "sumsq", "min", "max", "null_count", "total_rows")
+
+    def __init__(self):
+        self.count = 0.0  # non-null element count
+        self.sum = 0.0
+        self.sumsq = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+        self.null_count = 0.0
+        self.total_rows = 0.0
+
+    def update_batch(self, col: Column):
+        vals = col.values
+        m = xnp(vals)
+        nulls = col.is_null()
+        n_rows = len(col)
+        if col.is_list:
+            data = vals
+            valid = m.ones(data.shape, dtype=bool)
+        else:
+            data = vals
+            valid = ~nulls
+        if data.dtype.kind == "b" if m is np else str(data.dtype) == "bool":
+            data = data.astype("float64" if m is np else "float32")
+        fdata = data.astype("float64" if m is np else "float32")
+        if not col.is_list and data.dtype.kind == "f" if m is np else False:
+            pass
+        zero = m.asarray(0, dtype=fdata.dtype)
+        safe = m.where(valid, fdata, zero)
+        # NaNs inside float data also excluded
+        isnan = m.isnan(safe) if fdata.dtype.kind == "f" or m is not np else m.zeros(safe.shape, bool)
+        valid = valid & ~isnan
+        safe = m.where(valid, safe, zero)
+
+        cnt = float(m.sum(valid))
+        s = float(m.sum(safe))
+        ss = float(m.sum(safe * safe))
+        if cnt > 0:
+            big = m.where(valid, fdata, m.asarray(-math.inf, dtype=fdata.dtype))
+            small = m.where(valid, fdata, m.asarray(math.inf, dtype=fdata.dtype))
+            self.max = max(self.max, float(m.max(big)))
+            self.min = min(self.min, float(m.min(small)))
+        self.count += cnt
+        self.sum += s
+        self.sumsq += ss
+        self.null_count += float(np.sum(np.asarray(nulls)))
+        self.total_rows += n_rows
+
+    def merge(self, other: "ColumnMoments") -> "ColumnMoments":
+        out = ColumnMoments()
+        out.count = self.count + other.count
+        out.sum = self.sum + other.sum
+        out.sumsq = self.sumsq + other.sumsq
+        out.min = min(self.min, other.min)
+        out.max = max(self.max, other.max)
+        out.null_count = self.null_count + other.null_count
+        out.total_rows = self.total_rows + other.total_rows
+        return out
+
+    # --- derived statistics (ddof=1 like the reference, moments.py:96-111) --
+    @property
+    def mean(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+    @property
+    def var(self) -> float:
+        if self.count <= 1:
+            return 0.0
+        v = (self.sumsq - self.sum * self.sum / self.count) / (self.count - 1)
+        return max(v, 0.0)
+
+    @property
+    def std(self) -> float:
+        return math.sqrt(self.var)
+
+
+class MomentsState:
+    """Per-column moments for a set of columns."""
+
+    def __init__(self, columns: List[str]):
+        self.columns = {name: ColumnMoments() for name in columns}
+
+    def update_batch(self, batch: TableBatch, names: Optional[List[str]] = None):
+        for name in names or self.columns:
+            if name in batch:
+                self.columns[name].update_batch(batch[name])
+        return self
+
+    def merge(self, other: "MomentsState") -> "MomentsState":
+        out = MomentsState(list(self.columns))
+        for name in self.columns:
+            out.columns[name] = self.columns[name].merge(other.columns[name])
+        return out
+
+
+class ReservoirSample:
+    """Bounded uniform sample for approximate quantiles (median).
+
+    Exact below `capacity` rows; the reference used dask's approximate
+    quantile (fill.py:117-121), so approximation parity is acceptable.
+    """
+
+    def __init__(self, capacity: int = 131072, seed: int = 0):
+        self.capacity = capacity
+        self.rng = np.random.default_rng(seed)
+        self.buf = np.empty(0, dtype=np.float64)
+        self.seen = 0
+
+    def update(self, values: np.ndarray):
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        room = self.capacity - len(self.buf)
+        if room > 0:
+            take = min(room, len(values))
+            self.buf = np.concatenate([self.buf, values[:take]])
+            self.seen += take
+            values = values[take:]
+        for v in values:
+            self.seen += 1
+            j = self.rng.integers(0, self.seen)
+            if j < self.capacity:
+                self.buf[j] = v
+
+    def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        out = ReservoirSample(self.capacity)
+        out.buf = np.concatenate([self.buf, other.buf])
+        out.seen = self.seen + other.seen
+        if len(out.buf) > self.capacity:
+            idx = out.rng.choice(len(out.buf), self.capacity, replace=False)
+            out.buf = out.buf[idx]
+        return out
+
+    def quantile(self, q: float) -> float:
+        if len(self.buf) == 0:
+            return 0.0
+        return float(np.quantile(self.buf, q))

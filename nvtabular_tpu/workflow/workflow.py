@@ -1,0 +1,220 @@
+"""Workflow: sklearn-style fit/transform facade over a Graph.
+
+Analog of the reference's ``nvtabular.workflow.Workflow``
+(nvtabular/workflow/workflow.py:45-358): same public surface —
+fit / transform / fit_transform / fit_schema / save / load / clear_stats /
+get_subworkflow / remove_inputs / input_schema / output_schema — with a
+TPU-native execution strategy: transform returns a *lazy* Dataset whose
+batches stream through the jit-fused executor; fit is a phased single scan
+feeding streaming accumulators (see dag/executor.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Union
+
+from ..dag import Graph, Node
+from ..dag.base_operator import StatOperator
+from ..dag.executor import FitEngine, JitExecutor, LocalExecutor
+from ..dag.ops import Subgraph
+from ..io.dataset import Dataset
+from ..schema import Schema
+from ..table import TableBatch
+
+LOG = logging.getLogger("nvtabular_tpu")
+
+
+class Workflow:
+    def __init__(self, output_node: Node, client=None, executor=None):
+        # `client` kept for reference API compatibility; the TPU runtime has
+        # no external scheduler (multi-controller JAX instead of dask).
+        self.graph = Graph(output_node)
+        self.executor = executor or JitExecutor()
+        self._fit_engine = FitEngine(self.executor)
+
+    # --- fitting ----------------------------------------------------------
+    def fit(self, dataset: Dataset) -> "Workflow":
+        self._clear_unfitted_stats()
+        self._fit_engine.fit(_as_dataset(dataset), self.graph)
+        return self
+
+    def fit_schema(self, input_schema: Schema) -> "Workflow":
+        self.graph.construct_schema(input_schema)
+        return self
+
+    def fit_transform(self, dataset: Dataset) -> Dataset:
+        self.fit(dataset)
+        return self.transform(dataset)
+
+    # --- transforming -----------------------------------------------------
+    def transform(self, data) -> Union[Dataset, TableBatch]:
+        if isinstance(data, TableBatch):
+            return self._transform_batch(data)
+        if _is_pandas(data):
+            batch = TableBatch.from_pandas(data)
+            return self._transform_batch(batch).to_pandas()
+        return self._transform_dataset(_as_dataset(data))
+
+    def _transform_dataset(self, dataset: Dataset) -> Dataset:
+        if self.graph.output_schema is None:
+            self.graph.construct_schema(dataset.schema)
+        self._check_fitted()
+        return TransformedDataset(dataset, self)
+
+    def _transform_batch(self, batch: TableBatch) -> TableBatch:
+        if self.graph.output_schema is None:
+            self.graph.construct_schema(batch.infer_schema())
+        self._check_fitted()
+        return self.executor.transform_batch(batch, self.graph.output_node)
+
+    def _check_fitted(self):
+        unfitted = [
+            n.op.label
+            for n in self.graph.nodes
+            if isinstance(n.op, StatOperator) and not n.op.fitted
+        ]
+        if unfitted:
+            raise RuntimeError(
+                f"Workflow has unfitted stat operators: {unfitted}. Call fit() first."
+            )
+
+    # --- schema access ------------------------------------------------------
+    @property
+    def input_schema(self) -> Optional[Schema]:
+        return self.graph.input_schema
+
+    @property
+    def output_schema(self) -> Optional[Schema]:
+        return self.graph.output_schema
+
+    @property
+    def input_dtypes(self):
+        return self.graph.input_dtypes
+
+    @property
+    def output_dtypes(self):
+        return self.graph.output_dtypes
+
+    @property
+    def output_node(self) -> Node:
+        return self.graph.output_node
+
+    @property
+    def _input_columns(self) -> List[str]:
+        schema = self.input_schema
+        return schema.column_names if schema else []
+
+    # --- graph edits ------------------------------------------------------
+    def remove_inputs(self, input_cols: List[str]) -> "Workflow":
+        self.graph.remove_inputs(input_cols)
+        return self
+
+    def get_subworkflow(self, name: str) -> "Workflow":
+        subgraph = self.graph.subgraph(name)
+        return Workflow(subgraph.output_node, executor=self.executor)
+
+    # --- stats lifecycle ------------------------------------------------------
+    def clear_stats(self) -> None:
+        for node in self.graph.nodes:
+            if isinstance(node.op, StatOperator):
+                node.op.clear()
+
+    def _clear_unfitted_stats(self):
+        # re-fitting an already-fitted workflow refits everything
+        pass
+
+    # --- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        from . import graph_serializer
+
+        os.makedirs(path, exist_ok=True)
+        metadata = {
+            "versions": {
+                "nvtabular_tpu": _pkg_version(),
+                "python": sys.version.split()[0],
+            },
+            "generated_timestamp": int(time.time()),
+        }
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
+        graph_serializer.serialize_graph(self.graph, path)
+
+    @classmethod
+    def load(cls, path: str, client=None) -> "Workflow":
+        from . import graph_serializer
+
+        meta_path = os.path.join(path, "metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                metadata = json.load(f)
+            saved = metadata.get("versions", {}).get("nvtabular_tpu")
+            if saved and saved != _pkg_version():
+                import warnings
+
+                warnings.warn(
+                    f"Workflow saved with nvtabular_tpu {saved}, "
+                    f"loading with {_pkg_version()}"
+                )
+        graph = graph_serializer.deserialize_graph(path)
+        wf = cls.__new__(cls)
+        wf.graph = graph
+        wf.executor = JitExecutor()
+        wf._fit_engine = FitEngine(wf.executor)
+        return wf
+
+
+class TransformedDataset(Dataset):
+    """Lazy transform plan: batches stream through the workflow's executor
+    (mirrors the reference's lazy ddf transform, workflow.py:86-88)."""
+
+    def __init__(self, base: Dataset, workflow: Workflow):
+        self._base = base
+        self._workflow = workflow
+        self._schema = workflow.output_schema
+        self.part_size = base.part_size
+        self.engine = base.engine
+        self.cpu = base.cpu
+        self.base_dataset = base
+        self.paths = []
+        self._partitions = base._partitions  # partition count/metadata passthrough
+
+    @property
+    def schema(self) -> Schema:
+        return self._workflow.output_schema
+
+    def infer_schema(self) -> Schema:
+        return self._workflow.output_schema
+
+    def to_batches(self, columns=None, prefetch: int = 2, shard=None):
+        wf = self._workflow
+        input_cols = wf._input_columns or None
+        for batch in self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard):
+            out = wf.executor.transform_batch(batch, wf.graph.output_node).to_host()
+            if columns:
+                out = out.select([c for c in columns if c in out])
+            yield out
+
+    @property
+    def num_rows(self) -> int:
+        return self._base.num_rows
+
+
+def _as_dataset(data) -> Dataset:
+    if isinstance(data, Dataset):
+        return data
+    return Dataset(data)
+
+
+def _is_pandas(obj) -> bool:
+    return type(obj).__module__.startswith("pandas") and hasattr(obj, "columns")
+
+
+def _pkg_version() -> str:
+    from .. import __version__
+
+    return __version__
