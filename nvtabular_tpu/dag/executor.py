@@ -95,13 +95,25 @@ class LocalExecutor:
 
 class JitExecutor(LocalExecutor):
     """Device executor: fuses the whole DAG walk into one jitted XLA program
-    when possible; falls back to hybrid eager execution otherwise."""
+    when possible; falls back to hybrid eager execution otherwise.
 
-    def __init__(self):
+    Static-shape discipline: batches are padded up to power-of-two row
+    bucket sizes before entering jit, so XLA compiles once per bucket instead
+    of once per partition shape; padding rows are sliced off after. Batches
+    below `jit_min_rows` run on the host path, where compile cost would
+    dominate (tiny eager/serving batches)."""
+
+    def __init__(self, jit_min_rows: int = 16384, bucket: bool = True):
         self._jit_cache: Dict[Any, Any] = {}
+        self.jit_min_rows = jit_min_rows
+        self.bucket = bucket
 
     def transform_batch(self, batch: TableBatch, output_node: Node, capture_dtypes=False) -> TableBatch:
-        if capture_dtypes or not self.graph_is_jittable(output_node, batch):
+        if (
+            capture_dtypes
+            or batch.num_rows < self.jit_min_rows
+            or not self.graph_is_jittable(output_node, batch)
+        ):
             return super().transform_batch(batch, output_node, capture_dtypes)
         return self._jit_transform(batch, output_node)
 
@@ -118,7 +130,10 @@ class JitExecutor(LocalExecutor):
     def _jit_transform(self, batch: TableBatch, output_node: Node) -> TableBatch:
         import jax
 
-        device_batch = batch.to_device()
+        n_rows = batch.num_rows
+        host = batch.to_host()
+        padded, meta = (_pad_batch(host) if self.bucket else (host, None))
+        device_batch = padded.to_device()
         arrays = device_batch.to_dict_of_arrays()
         signature = (
             id(output_node),
@@ -129,13 +144,73 @@ class JitExecutor(LocalExecutor):
 
             def run(array_dict):
                 b = TableBatch.from_dict_of_arrays(array_dict)
+                b.row_offset = batch.row_offset
                 out = LocalExecutor().transform_batch(b, output_node)
                 return out.to_dict_of_arrays()
 
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
         out_arrays = fn(arrays)
-        return TableBatch.from_dict_of_arrays(out_arrays)
+        out = TableBatch.from_dict_of_arrays(out_arrays)
+        out.row_offset = batch.row_offset
+        if meta is not None and out.num_rows != n_rows:
+            out = _unpad_batch(out, n_rows)
+        return out
+
+
+def _next_bucket(n: int) -> int:
+    """Smallest power-of-two ≥ n (min 1024): bounds distinct jit signatures
+    to log2(max_rows) while wasting <2x compute on padding."""
+    b = 1024
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad_batch(batch: TableBatch) -> "tuple[TableBatch, dict]":
+    n = batch.num_rows
+    target = _next_bucket(n)
+    meta = {"rows": n}
+    if target == n and all(
+        not c.is_list or _next_bucket(len(c.values)) == len(c.values)
+        for c in batch.columns.values()
+    ):
+        return batch, meta
+    out = TableBatch()
+    out.row_offset = batch.row_offset
+    for name, col in batch.columns.items():
+        if col.is_list:
+            vals = col.values
+            vtarget = _next_bucket(max(len(vals), 1))
+            if vtarget > len(vals):
+                vals = np.concatenate([vals, np.zeros(vtarget - len(vals), dtype=vals.dtype)])
+            offs = col.offsets
+            if target + 1 > len(offs):
+                offs = np.concatenate(
+                    [offs, np.full(target + 1 - len(offs), offs[-1], dtype=offs.dtype)]
+                )
+            valid = col.validity
+            if valid is not None and target > len(valid):
+                valid = np.concatenate([valid, np.ones(target - len(valid), dtype=bool)])
+            out.columns[name] = Column(vals, offs, valid)
+        else:
+            vals = col.values
+            if target > len(vals):
+                pad = np.zeros(target - len(vals), dtype=vals.dtype)
+                vals = np.concatenate([vals, pad])
+            valid = col.validity
+            if valid is not None and target > len(valid):
+                valid = np.concatenate([valid, np.ones(target - len(valid), dtype=bool)])
+            out.columns[name] = Column(vals, None, valid)
+    return out, meta
+
+
+def _unpad_batch(batch: TableBatch, n_rows: int) -> TableBatch:
+    out = TableBatch()
+    out.row_offset = batch.row_offset
+    for name, col in batch.columns.items():
+        out.columns[name] = col.slice(0, n_rows)
+    return out
 
 
 def _node_jit_safe(op: BaseOperator, selector, input_schema: Optional[Schema]) -> bool:

@@ -235,6 +235,7 @@ class _Vocab:
         """(sorted_values, sorted_codes) as jax arrays, cached in HBM —
         the worker-cache analog (reference merlin.io.worker, P4)."""
         if self._device_cache is None:
+            import jax
             import jax.numpy as jnp
 
             sv = self.sorted_values
@@ -244,10 +245,12 @@ class _Vocab:
                     sv.min() >= np.iinfo(np.int32).min and sv.max() <= np.iinfo(np.int32).max
                 ):
                     sv = sv.astype(np.int32)
-            self._device_cache = (
-                jnp.asarray(sv),
-                jnp.asarray(self.sorted_codes.astype(np.int32)),
-            )
+            pair = (jnp.asarray(sv), jnp.asarray(self.sorted_codes.astype(np.int32)))
+            if isinstance(pair[0], jax.core.Tracer):
+                # under a jit trace: return the traced constants but don't
+                # cache them (they'd leak out of the trace)
+                return pair
+            self._device_cache = pair
         return self._device_cache
 
     def encode_device(self, values, validity):

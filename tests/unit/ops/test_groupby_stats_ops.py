@@ -1,0 +1,99 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import nvtabular_tpu as nvt
+from nvtabular_tpu import ops
+
+
+@pytest.fixture
+def gdf():
+    rng = np.random.default_rng(7)
+    return pd.DataFrame(
+        {
+            "cat": rng.choice(["a", "b", "c", "d"], 300),
+            "cat2": rng.choice(["p", "q"], 300),
+            "cont": rng.normal(0, 1, 300),
+            "target": rng.integers(0, 2, 300).astype(np.float64),
+        }
+    )
+
+
+def test_join_groupby_matches_pandas(gdf, tmp_path):
+    node = ["cat"] >> ops.JoinGroupby(
+        cont_cols=["cont"], stats=["count", "sum", "mean", "std", "min", "max"],
+        out_path=str(tmp_path),
+    )
+    wf = nvt.Workflow(node)
+    ds = nvt.Dataset(gdf, part_size=4 * 1024)
+    out = wf.fit_transform(ds).to_table().to_pandas()
+
+    ref = gdf.groupby("cat")["cont"].agg(["count", "sum", "mean", "std", "min", "max"])
+    for stat in ["sum", "mean", "std", "min", "max"]:
+        expected = gdf["cat"].map(ref[stat]).to_numpy()
+        np.testing.assert_allclose(
+            out[f"cat_cont_{stat}"], expected.astype(np.float32), rtol=1e-4
+        )
+    expected_count = gdf["cat"].map(ref["count"]).to_numpy()
+    np.testing.assert_array_equal(out["cat_count"], expected_count.astype(np.int32))
+
+
+def test_join_groupby_multi_key(gdf, tmp_path):
+    node = [["cat", "cat2"]] >> ops.JoinGroupby(
+        cont_cols=["cont"], stats=["mean"], out_path=str(tmp_path)
+    )
+    wf = nvt.Workflow(node)
+    out = wf.fit_transform(nvt.Dataset(gdf)).to_table().to_pandas()
+    ref = gdf.groupby(["cat", "cat2"])["cont"].mean()
+    expected = gdf.set_index(["cat", "cat2"]).index.map(ref).to_numpy()
+    np.testing.assert_allclose(out["cat_cat2_cont_mean"], expected.astype(np.float32), rtol=1e-4)
+
+
+def test_target_encoding_no_folds_matches_formula(gdf, tmp_path):
+    p = 20.0
+    node = ["cat"] >> ops.TargetEncoding("target", kfold=1, p_smooth=p, out_path=str(tmp_path))
+    wf = nvt.Workflow(node)
+    out = wf.fit_transform(nvt.Dataset(gdf, part_size=4 * 1024)).to_table().to_pandas()
+
+    gmean = gdf["target"].mean()
+    grp = gdf.groupby("cat")["target"].agg(["sum", "count"])
+    te = (grp["sum"] + p * gmean) / (grp["count"] + p)
+    expected = gdf["cat"].map(te).to_numpy()
+    np.testing.assert_allclose(out["TE_cat_target"], expected.astype(np.float32), rtol=1e-5)
+
+
+def test_target_encoding_kfold_out_of_fold(gdf, tmp_path):
+    p = 10.0
+    kfold = 3
+    node = ["cat"] >> ops.TargetEncoding(
+        "target", kfold=kfold, fold_seed=7, p_smooth=p, out_path=str(tmp_path), drop_folds=False
+    )
+    wf = nvt.Workflow(node)
+    ds = nvt.Dataset(gdf, part_size=4 * 1024)
+    out = wf.fit_transform(ds).to_table().to_pandas()
+    assert "__fold__" in out.columns
+    folds = out["__fold__"].to_numpy()
+    assert set(np.unique(folds)) <= {0, 1, 2}
+
+    gmean = gdf["target"].mean()
+    df = gdf.copy()
+    df["fold"] = folds
+    # manual OOF computation
+    expected = np.empty(len(df))
+    total = df.groupby("cat")["target"].agg(["sum", "count"])
+    per_fold = df.groupby(["fold", "cat"])["target"].agg(["sum", "count"])
+    for i, row in df.iterrows():
+        s_all, c_all = total.loc[row["cat"]]
+        key = (row["fold"], row["cat"])
+        s_f, c_f = per_fold.loc[key] if key in per_fold.index else (0.0, 0.0)
+        expected[i] = ((s_all - s_f) + p * gmean) / ((c_all - c_f) + p)
+    np.testing.assert_allclose(out["TE_cat_target"], expected.astype(np.float32), rtol=1e-4)
+
+
+def test_target_encoding_transform_new_keys(gdf, tmp_path):
+    node = ["cat"] >> ops.TargetEncoding("target", kfold=1, p_smooth=20, out_path=str(tmp_path))
+    wf = nvt.Workflow(node)
+    wf.fit(nvt.Dataset(gdf))
+    new = pd.DataFrame({"cat": ["UNSEEN"], "target": [0.0]})
+    out = wf.transform(nvt.Dataset(new)).to_table().to_pandas()
+    np.testing.assert_allclose(out["TE_cat_target"][0], gdf["target"].mean(), rtol=1e-5)

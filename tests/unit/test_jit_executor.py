@@ -1,0 +1,49 @@
+import numpy as np
+import pandas as pd
+
+import nvtabular_tpu as nvt
+from nvtabular_tpu import ops
+from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor, _next_bucket
+
+
+def test_bucket_sizes():
+    assert _next_bucket(1) == 1024
+    assert _next_bucket(1024) == 1024
+    assert _next_bucket(1025) == 2048
+    assert _next_bucket(100_000) == 131072
+
+
+def test_jit_fused_transform_matches_host():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "i": rng.integers(0, 100, 3000).astype(np.int64),
+            "x": rng.normal(0, 1, 3000),
+        }
+    )
+    cats = ["i"] >> ops.Categorify()
+    conts = ["x"] >> ops.FillMissing(0.0) >> ops.Clip(min_value=-2, max_value=2) >> ops.Normalize()
+    wf = nvt.Workflow(cats + conts, executor=JitExecutor(jit_min_rows=0))
+    ds = nvt.Dataset(df, part_size=32 * 1024)
+    wf.fit(ds)
+
+    jit_out = wf.transform(ds).to_table().to_pandas()
+
+    wf_host = nvt.Workflow(cats + conts, executor=LocalExecutor())
+    host_out = wf_host.transform(ds).to_table().to_pandas()
+
+    np.testing.assert_array_equal(jit_out["i"], host_out["i"])
+    np.testing.assert_allclose(jit_out["x"], host_out["x"], rtol=1e-5, atol=1e-6)
+
+
+def test_jit_cache_reuse():
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"x": rng.normal(0, 1, 5000)})
+    node = ["x"] >> ops.Normalize()
+    ex = JitExecutor(jit_min_rows=0)
+    wf = nvt.Workflow(node, executor=ex)
+    ds = nvt.Dataset(df, part_size=8 * 1024)  # several same-bucket partitions
+    wf.fit(ds)
+    _ = wf.transform(ds).to_table()
+    # partitions of equal bucket share one compiled program
+    assert len(ex._jit_cache) <= 2
