@@ -154,6 +154,14 @@ class BaseOperator:
     def dynamic_dtypes(self) -> bool:
         return False
 
+    def device_state(self) -> Dict[str, Any]:
+        """Large fitted arrays to pass as jit ARGUMENTS rather than traced
+        constants (multi-MB constants stall XLA compilation — see
+        dag/device_state.py). Keys must be stable per fitted state; values
+        are host numpy arrays. Ops fetch the traced handles back through
+        ``get_device_state(key)`` inside ``transform``."""
+        return {}
+
     @property
     def label(self) -> str:
         return self.__class__.__name__

@@ -30,6 +30,7 @@ import numpy as np
 from ..schema import Schema
 from ..table import Column, TableBatch, concat_columns
 from .base_operator import BaseOperator, StatOperator
+from .device_state import device_state_scope
 from .graph import Graph, postorder_iter_nodes
 from .node import Node
 from .ops import ConcatColumns, SelectionOp
@@ -105,8 +106,15 @@ class JitExecutor(LocalExecutor):
 
     def __init__(self, jit_min_rows: int = 16384, bucket: bool = True):
         self._jit_cache: Dict[Any, Any] = {}
+        self._device_state_cache: Dict[int, Any] = {}
         self.jit_min_rows = jit_min_rows
         self.bucket = bucket
+
+    def _collect_device_state(self, output_node: Node) -> Dict[str, Any]:
+        state: Dict[str, Any] = {}
+        for node in postorder_iter_nodes(output_node):
+            state.update(node.op.device_state())
+        return state
 
     def transform_batch(self, batch: TableBatch, output_node: Node, capture_dtypes=False) -> TableBatch:
         if (
@@ -133,29 +141,81 @@ class JitExecutor(LocalExecutor):
         n_rows = batch.num_rows
         host = batch.to_host()
         padded, meta = (_pad_batch(host) if self.bucket else (host, None))
-        device_batch = padded.to_device()
-        arrays = device_batch.to_dict_of_arrays()
+        stacked, layout = _stack_batch(padded)
+        # ONE device_put over a few large same-dtype buffers instead of one
+        # per column: per-transfer latency (PCIe setup / tunnel round-trip)
+        # amortizes across the whole batch, and XLA slices the stacks apart
+        # for free inside the fused program.
+        device_arrays = jax.device_put(stacked)
+        # fitted state (vocab tables) rides as jit arguments, NOT constants
+        # (multi-MB constants stall XLA compilation; see dag/device_state.py)
+        state = self._collect_device_state(output_node)
         signature = (
             id(output_node),
-            tuple(sorted((k, str(v.dtype), v.shape) for k, v in arrays.items())),
+            layout,
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in stacked.items())),
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in state.items())),
         )
         fn = self._jit_cache.get(signature)
         if fn is None:
 
-            def run(array_dict):
+            def run(stacked_dict, state_dict):
+                array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
                 b.row_offset = batch.row_offset
-                out = LocalExecutor().transform_batch(b, output_node)
+                with device_state_scope(state_dict):
+                    out = LocalExecutor().transform_batch(b, output_node)
                 return out.to_dict_of_arrays()
 
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
-        out_arrays = fn(arrays)
+        # cache the device copy of fitted state; host array identity is the
+        # staleness token (refit replaces the numpy arrays)
+        state_token = (id(output_node), tuple(sorted((k, id(v)) for k, v in state.items())))
+        dev_state = self._device_state_cache.get(state_token)
+        if dev_state is None:
+            dev_state = jax.device_put(state)
+            self._device_state_cache = {state_token: dev_state}
+        out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
         out.row_offset = batch.row_offset
         if meta is not None and out.num_rows != n_rows:
             out = _unpad_batch(out, n_rows)
         return out
+
+
+def _stack_batch(batch: TableBatch):
+    """Pack the flat array dict into a few large same-dtype-and-shape host
+    stacks. Returns (stacked_arrays, layout) where layout is a hashable
+    recipe for `_unstack_arrays`: per stack key, the tuple of flat-dict keys
+    it carries; singletons pass through unstacked."""
+    flat = batch.to_dict_of_arrays()
+    groups: Dict[Any, List[str]] = {}
+    for key, arr in flat.items():
+        groups.setdefault((str(arr.dtype), arr.shape), []).append(key)
+    stacked: Dict[str, Any] = {}
+    layout_items = []
+    for (dtype_str, shape), keys in groups.items():
+        if len(keys) == 1:
+            stacked[keys[0]] = flat[keys[0]]
+            layout_items.append((keys[0], (keys[0],)))
+        else:
+            stack_key = f"__stack_{len(layout_items)}"
+            stacked[stack_key] = np.stack([flat[k] for k in keys])
+            layout_items.append((stack_key, tuple(keys)))
+    return stacked, tuple(layout_items)
+
+
+def _unstack_arrays(stacked: Dict[str, Any], layout) -> Dict[str, Any]:
+    out = {}
+    for stack_key, keys in layout:
+        if len(keys) == 1:
+            out[keys[0]] = stacked[stack_key]
+        else:
+            arr = stacked[stack_key]
+            for i, k in enumerate(keys):
+                out[k] = arr[i]
+    return out
 
 
 def _next_bucket(n: int) -> int:

@@ -160,6 +160,10 @@ class _Vocab:
         "dtype_kind",
         "_device_cache",
         "_pa_value_set",
+        "_lookup",
+        "_lookup_built",
+        "_lut_dev",
+        "state_key",
     )
 
     def __init__(self, values_by_code, counts, num_buckets):
@@ -180,6 +184,10 @@ class _Vocab:
             self.sorted_codes = None
         self._device_cache = None
         self._pa_value_set = None
+        self._lookup = None
+        self._lookup_built = False
+        self._lut_dev = None
+        self.state_key = None  # set when the op publishes device_state
 
     @property
     def size(self) -> int:
@@ -253,12 +261,40 @@ class _Vocab:
             self._device_cache = pair
         return self._device_cache
 
+    def lookup_struct(self):
+        """Host-built single/double-gather lookup structure (lookup.py);
+        built once per vocab, None when keys don't admit one."""
+        if not self._lookup_built:
+            from .lookup import build_lookup
+
+            if self.sorted_values is not None and self.sorted_values.dtype.kind in ("i", "u"):
+                self._lookup = build_lookup(
+                    self.sorted_values, self.sorted_codes.astype(np.int32)
+                )
+            self._lookup_built = True
+        return self._lookup
+
     def encode_device(self, values, validity):
+        """Device lookup: 1 gather (DirectLookup) or 2 row-gathers
+        (CuckooLookup); searchsorted only as last resort (it lowers to a
+        serial gather loop — see lookup.py module docstring)."""
+        import jax
         import jax.numpy as jnp
 
-        sv, sc = self.device_arrays()
-        vals = values.astype(sv.dtype)
-        if len(self.values_by_code):
+        from ..dag.device_state import get_device_state
+
+        lut = self.lookup_struct() if len(self.values_by_code) else None
+        if lut is not None:
+            table_host = lut.table if hasattr(lut, "table") else lut.packed
+            # prefer the traced argument (device_state), avoiding a large
+            # constant baked into the program
+            table_dev = get_device_state(self.state_key) if self.state_key else None
+            if table_dev is None:
+                table_dev = self._cached_dev(jnp.asarray(table_host))
+            codes = lut.encode_dev(table_dev, values, self._oov_codes_dev(values))
+        elif len(self.values_by_code):
+            sv, sc = self.device_arrays()
+            vals = values.astype(sv.dtype)
             pos = jnp.searchsorted(sv, vals, side="left")
             pos_c = jnp.clip(pos, 0, sv.shape[0] - 1)
             hit = sv[pos_c] == vals
@@ -272,6 +308,16 @@ class _Vocab:
             nulls |= jnp.isnan(values)
         codes = jnp.where(nulls, NULL_INDEX, codes)
         return codes + self.offset
+
+    def _cached_dev(self, arr):
+        """Cache a device constant on the vocab unless we're under a trace."""
+        import jax
+
+        if isinstance(arr, jax.core.Tracer):
+            return arr
+        if self._lut_dev is None:
+            self._lut_dev = arr
+        return self._lut_dev
 
     def _oov_codes_dev(self, values):
         import jax.numpy as jnp
@@ -321,6 +367,7 @@ class Categorify(StatOperator):
 
         self.vocabs: Dict[str, _Vocab] = {}
         self.categories: Dict[str, str] = {}  # group key -> vocab parquet path
+        self._batched_cache = None  # (id(vocabs) token, {kind: (blut, rows)})
         if vocabs is not None:
             self._load_supplied_vocabs(vocabs)
 
@@ -454,16 +501,42 @@ class Categorify(StatOperator):
     # ------------------------------------------------------------------
     # transform
     # ------------------------------------------------------------------
+    def device_state(self):
+        """Publish lookup tables as jit arguments (the per-worker vocab cache
+        of the reference, merlin.io.worker / P4 — here the cache is device HBM
+        and the executor owns placement). Column-batched concat tables are
+        published for the vectorized path; per-vocab tables for solo columns."""
+        state = {}
+        batched = self._get_batched()
+        for kind, (blut, _) in batched.items():
+            state[f"categorify:{id(self)}:batched:{kind}"] = blut.concat
+        for vkey, vocab in self.vocabs.items():
+            lut = vocab.lookup_struct()
+            if lut is None:
+                continue
+            key = f"categorify:{id(self)}:{vkey}"
+            vocab.state_key = key
+            state[key] = lut.table if hasattr(lut, "table") else lut.packed
+        return state
+
     def is_jit_safe(self, col_selector, input_schema):
         if input_schema is None or not self.vocabs:
             return False
         for cs in input_schema:
             if cs.dtype.is_string or not cs.dtype.is_numeric:
                 return False
+        for vocab in self.vocabs.values():
+            sv = vocab.sorted_values
+            if sv is not None and sv.dtype.kind in ("i", "u") and len(sv):
+                # device arrays are ≤32-bit (jax x64 off): int keys beyond
+                # int32 range would arrive truncated → host path
+                if sv.min() < np.iinfo(np.int32).min or sv.max() > np.iinfo(np.int32).max:
+                    return False
         return True
 
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         out = TableBatch()
+        jobs: List[Tuple[str, "_Vocab", Column]] = []  # preserve output order
         for key, members in self._groups(col_selector):
             if len(members) > 1 and self.encode_type == "combo":
                 vocab = self.vocabs[key]
@@ -473,21 +546,116 @@ class Categorify(StatOperator):
             else:
                 for mcol in members:
                     vocab = self.vocabs[self._vocab_key(key, members, mcol)]
-                    col = batch[mcol]
-                    m = xnp(col.values)
-                    if m is np:
-                        codes = vocab.encode_host(
-                            np.asarray(col.values),
-                            np.asarray(col.validity) if col.validity is not None else None,
-                        ).astype(self._out_dtype_np())
-                    else:
-                        codes = vocab.encode_device(col.values, col.validity).astype(
-                            self._out_dtype_np()
-                        )
-                    # multihot: re-wrap encoded flat values with original offsets
-                    # (reference encode_list_column, categorify.py:1802-1803)
-                    out[mcol] = Column(codes, col.offsets)
+                    jobs.append((mcol, vocab, batch[mcol]))
+        # Column-batched device lookup: every eligible column encodes through
+        # ONE gather (direct group) + TWO row-gathers (cuckoo group) — the
+        # per-column loop would emit 26 separate gather ops and bloat the
+        # fused program (slow XLA compile, more dispatch).
+        batched = self._encode_batched_device(jobs)
+        for name, vocab, col in jobs:
+            if name in batched:
+                codes = batched[name]
+            else:
+                m = xnp(col.values)
+                if m is np:
+                    codes = vocab.encode_host(
+                        np.asarray(col.values),
+                        np.asarray(col.validity) if col.validity is not None else None,
+                    ).astype(self._out_dtype_np())
+                else:
+                    codes = vocab.encode_device(col.values, col.validity).astype(
+                        self._out_dtype_np()
+                    )
+            # multihot: re-wrap encoded flat values with original offsets
+            # (reference encode_list_column, categorify.py:1802-1803)
+            out[name] = Column(codes, col.offsets)
         return out
+
+    def _get_batched(self):
+        """Column-batched lookup structures over ALL fitted vocabs, built
+        deterministically (sorted vocab key) so device_state and transform
+        agree. Returns {kind: (batched_lut, {vocab_key: row_index})}."""
+        from .lookup import BatchedCuckoo, BatchedDirect, DirectLookup
+
+        token = tuple(sorted((k, id(v)) for k, v in self.vocabs.items()))
+        if self._batched_cache is not None and self._batched_cache[0] == token:
+            return self._batched_cache[1]
+        by_kind: Dict[str, List[Tuple[str, Any]]] = {"direct": [], "cuckoo": []}
+        for vkey in sorted(self.vocabs):
+            vocab = self.vocabs[vkey]
+            lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
+            if lut is None:
+                continue
+            kind = "direct" if isinstance(lut, DirectLookup) else "cuckoo"
+            by_kind[kind].append((vkey, lut))
+        out = {}
+        for kind, entries in by_kind.items():
+            if not entries:
+                continue
+            luts = [l for _, l in entries]
+            blut = BatchedDirect(luts) if kind == "direct" else BatchedCuckoo(luts)
+            out[kind] = (blut, {vkey: i for i, (vkey, _) in enumerate(entries)})
+        self._batched_cache = (token, out)
+        return out
+
+    def _encode_batched_device(self, jobs) -> Dict[str, Any]:
+        """Vectorize same-shape device columns through the column-batched
+        lookup structures. Returns {col_name: codes} for columns handled."""
+        from ..dag.device_state import get_device_state
+        from .lookup import DirectLookup
+
+        vocab_key_by_id = {id(v): k for k, v in self.vocabs.items()}
+        batched = self._get_batched()
+        groups: Dict[Tuple, List[Tuple[str, "_Vocab", Column]]] = {}
+        for name, vocab, col in jobs:
+            if xnp(col.values) is np or col.is_list:
+                continue
+            lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
+            if lut is None:
+                continue
+            kind = "direct" if isinstance(lut, DirectLookup) else "cuckoo"
+            groups.setdefault((kind, col.values.shape, str(col.values.dtype)), []).append(
+                (name, vocab, col)
+            )
+        result: Dict[str, Any] = {}
+        for (kind, shape, _dt), items in groups.items():
+            if len(items) < 2 or kind not in batched:
+                continue  # single column: per-column path is already one gather
+            import jax.numpy as jnp
+
+            blut, row_index = batched[kind]
+            sel = np.array(
+                [row_index[vocab_key_by_id[id(v)]] for _, v, _ in items], dtype=np.int64
+            )
+            state_key = f"categorify:{id(self)}:batched:{kind}"
+            concat_dev = get_device_state(state_key)
+            if concat_dev is None:
+                concat_dev = jnp.asarray(blut.concat)
+            vals = jnp.stack([c.values for _, _, c in items]).astype(jnp.int32)
+            miss = jnp.stack(
+                [jnp.broadcast_to(v._oov_codes_dev(c.values), c.values.shape)
+                 for _, v, c in items]
+            )
+            codes = blut.encode_dev(concat_dev, vals, miss, sel=sel)
+            # null handling + single_table offsets, vectorized
+            nulls = jnp.zeros(vals.shape, dtype=bool)
+            any_valid = any(c.validity is not None for _, _, c in items)
+            if any_valid:
+                nulls = jnp.stack(
+                    [
+                        (~c.validity) if c.validity is not None
+                        else jnp.zeros(c.values.shape, dtype=bool)
+                        for _, _, c in items
+                    ]
+                )
+                codes = jnp.where(nulls, NULL_INDEX, codes)
+            offsets = jnp.asarray(
+                np.array([v.offset for _, v, _ in items], dtype=np.int32)
+            )[:, None]
+            codes = (codes + offsets).astype(jnp.dtype(self._out_dtype_np()))
+            for i, (name, _, _) in enumerate(items):
+                result[name] = codes[i]
+        return result
 
     def _out_dtype_np(self):
         if self.dtype is not None:

@@ -9,8 +9,17 @@ mesh, golden comparisons against pandas reference implementations.
 import os
 
 # Virtual 8-device CPU mesh for sharding tests (must precede jax import).
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon TPU-tunnel sitecustomize force-registers its platform via
+# jax.config (overriding JAX_PLATFORMS); tests must stay hermetic on CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pandas as pd

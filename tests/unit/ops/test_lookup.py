@@ -1,0 +1,92 @@
+"""Lookup structures: direct dense map + bucketed cuckoo — exactness vs a
+plain dict, device/host parity, stress at high load."""
+
+import numpy as np
+import pytest
+
+from nvtabular_tpu.ops.lookup import (
+    CuckooLookup,
+    DirectLookup,
+    build_cuckoo,
+    build_direct,
+    build_lookup,
+)
+
+
+def _ref_encode(keys, codes, queries, miss=-7):
+    d = {int(k): int(c) for k, c in zip(keys, codes)}
+    return np.array([d.get(int(q), miss) for q in queries], dtype=np.int32)
+
+
+@pytest.mark.parametrize("n", [1, 100, 5000])
+def test_direct_exact(n):
+    rng = np.random.default_rng(0)
+    keys = rng.choice(3 * n, n, replace=False).astype(np.int64)
+    codes = rng.permutation(n).astype(np.int32) + 3
+    lut = build_direct(keys, codes)
+    assert lut is not None
+    queries = rng.integers(-10, 3 * n + 10, 5000)
+    miss = np.full(5000, -7, dtype=np.int32)
+    got = lut.encode_np(queries, miss)
+    np.testing.assert_array_equal(got, _ref_encode(keys, codes, queries))
+
+
+def test_direct_rejects_wide_range():
+    keys = np.array([0, 1 << 40], dtype=np.int64)
+    assert build_direct(keys, np.array([2, 3])) is None
+
+
+@pytest.mark.parametrize("n", [1, 17, 1000, 50_000])
+def test_cuckoo_exact(n):
+    rng = np.random.default_rng(1)
+    keys = rng.choice(1 << 31, n, replace=False).astype(np.int64) - (1 << 30)
+    codes = (np.arange(n) + 3).astype(np.int32)
+    lut = build_cuckoo(keys, codes)
+    assert lut is not None
+    queries = np.concatenate([keys[: min(n, 2000)], rng.integers(-(1 << 30), 1 << 30, 3000)])
+    miss = np.full(len(queries), -7, dtype=np.int32)
+    got = lut.encode_np(queries, miss)
+    np.testing.assert_array_equal(got, _ref_encode(keys, codes, queries))
+
+
+def test_cuckoo_rejects_int64_keys():
+    keys = np.array([0, 1 << 40], dtype=np.int64)
+    assert build_cuckoo(keys, np.array([2, 3])) is None
+
+
+def test_device_parity():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    n = 4000
+    keys = rng.choice(1 << 31, n, replace=False).astype(np.int64) - (1 << 30)
+    codes = (np.arange(n) + 3).astype(np.int32)
+    queries = np.concatenate([keys[:2000], rng.integers(-(1 << 30), 1 << 30, 2000)]).astype(
+        np.int32
+    )
+    miss = np.full(len(queries), -7, dtype=np.int32)
+
+    cuckoo = build_cuckoo(keys, codes)
+    got_host = cuckoo.encode_np(queries, miss)
+    got_dev = np.asarray(
+        cuckoo.encode_dev(jnp.asarray(cuckoo.packed), jnp.asarray(queries), jnp.asarray(miss))
+    )
+    np.testing.assert_array_equal(got_host, got_dev)
+
+    dense_keys = rng.choice(3 * n, n, replace=False).astype(np.int64)
+    direct = build_direct(dense_keys, codes)
+    q2 = rng.integers(-5, 3 * n + 5, 4000).astype(np.int32)
+    got_host = direct.encode_np(q2, miss)
+    got_dev = np.asarray(
+        direct.encode_dev(jnp.asarray(direct.table), jnp.asarray(q2), jnp.asarray(miss))
+    )
+    np.testing.assert_array_equal(got_host, got_dev)
+
+
+def test_build_lookup_choice():
+    codes = np.array([2, 3, 4], dtype=np.int32)
+    assert isinstance(build_lookup(np.array([5, 6, 7]), codes), DirectLookup)
+    assert isinstance(
+        build_lookup(np.array([5, 6, 2_000_000_000]), codes), CuckooLookup
+    )
+    assert build_lookup(np.array(["a", "b", "c"], dtype=object), codes) is None

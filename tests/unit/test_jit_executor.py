@@ -36,6 +36,39 @@ def test_jit_fused_transform_matches_host():
     np.testing.assert_allclose(jit_out["x"], host_out["x"], rtol=1e-5, atol=1e-6)
 
 
+def test_jit_batched_categorify_matches_host():
+    """Many same-shape cat columns take the column-batched lookup path
+    (one fused gather); results must match the host per-column path,
+    including OOV (freq_threshold) and wide keys (cuckoo)."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            # compact keys → BatchedDirect
+            "a": rng.integers(0, 50, n).astype(np.int64),
+            "b": rng.integers(0, 500, n).astype(np.int64),
+            # wide keys from a small pool → BatchedCuckoo (range too wide
+            # for the dense direct map, but values repeat so they survive
+            # the frequency threshold)
+            "c": rng.choice(rng.integers(0, 1 << 30, 500), n).astype(np.int64),
+            "d": rng.choice(rng.integers(0, 1 << 30, 500), n).astype(np.int64),
+        }
+    )
+    cats = ["a", "b", "c", "d"] >> ops.Categorify(freq_threshold=2)
+    ds = nvt.Dataset(df, part_size=64 * 1024)
+
+    wf = nvt.Workflow(cats, executor=JitExecutor(jit_min_rows=0))
+    wf.fit(ds)
+    jit_out = wf.transform(ds).to_table().to_pandas()
+
+    wf_host = nvt.Workflow(["a", "b", "c", "d"] >> ops.Categorify(freq_threshold=2), executor=LocalExecutor())
+    wf_host.fit(ds)
+    host_out = wf_host.transform(ds).to_table().to_pandas()
+
+    for col in ["a", "b", "c", "d"]:
+        np.testing.assert_array_equal(jit_out[col], host_out[col])
+
+
 def test_jit_cache_reuse():
     rng = np.random.default_rng(4)
     df = pd.DataFrame({"x": rng.normal(0, 1, 5000)})
