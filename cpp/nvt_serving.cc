@@ -1,0 +1,250 @@
+// Native serving kernels: hash-map Categorify encode + vectorized fill.
+//
+// C++ re-design of the reference's Triton inference extension
+// (reference cpp/nvtabular/inference/categorify.cc:31-329 and fill.cc:32-106):
+// the same encoding contract (NULL_INDEX=1, OOV=2.., codes from the
+// frequency-sorted vocab) behind a plain C ABI consumed via ctypes —
+// no pybind11 dependency in this environment.
+//
+// Cross-instance cache: tables are registered under a string name (the vocab
+// artifact path); concurrent model instances share one table via a
+// refcounted registry guarded by a mutex — the analog of the reference's
+// weak_ptr cache (categorify.cc:267-285).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC nvt_serving.cc -o libnvt_serving.so
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+inline uint64_t mix64(uint64_t x) {
+  // splitmix64 finalizer
+  x ^= x >> 30;
+  x *= 0xbf58476d1ce4e5b9ULL;
+  x ^= x >> 27;
+  x *= 0x94d049bb133111ebULL;
+  x ^= x >> 31;
+  return x;
+}
+
+inline uint64_t hash_bytes(const char* data, size_t len) {
+  // FNV-1a 64 then mixed
+  uint64_t h = 1469598103934665603ULL;
+  for (size_t i = 0; i < len; ++i) {
+    h ^= static_cast<unsigned char>(data[i]);
+    h *= 1099511628211ULL;
+  }
+  return mix64(h);
+}
+
+inline uint64_t next_pow2(uint64_t n) {
+  uint64_t p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+constexpr int64_t kEmpty = INT64_MIN;  // empty-slot sentinel for int keys
+
+// Open-addressing (linear probe) int64 -> int32 map.
+struct I64Map {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask = 0;
+  bool has_sentinel_key = false;  // a real key equal to kEmpty
+  int32_t sentinel_val = 0;
+
+  void build(const int64_t* in_keys, const int32_t* codes, int64_t n) {
+    uint64_t cap = next_pow2(static_cast<uint64_t>(n) * 2 + 1);
+    if (cap < 16) cap = 16;
+    keys.assign(cap, kEmpty);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t k = in_keys[i];
+      if (k == kEmpty) {
+        has_sentinel_key = true;
+        sentinel_val = codes[i];
+        continue;
+      }
+      uint64_t slot = mix64(static_cast<uint64_t>(k)) & mask;
+      while (keys[slot] != kEmpty) slot = (slot + 1) & mask;
+      keys[slot] = k;
+      vals[slot] = codes[i];
+    }
+  }
+
+  inline bool find(int64_t k, int32_t* out) const {
+    if (k == kEmpty) {
+      if (has_sentinel_key) { *out = sentinel_val; return true; }
+      return false;
+    }
+    uint64_t slot = mix64(static_cast<uint64_t>(k)) & mask;
+    while (true) {
+      int64_t kk = keys[slot];
+      if (kk == k) { *out = vals[slot]; return true; }
+      if (kk == kEmpty) return false;
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+// Open-addressing string -> int32 map: keys stored as (offset,len) into a blob.
+struct StrMap {
+  std::string blob;
+  std::vector<uint32_t> off;   // slot -> offset (UINT32_MAX = empty)
+  std::vector<uint32_t> len;
+  std::vector<int32_t> vals;
+  uint64_t mask = 0;
+
+  void build(const char* in_blob, const int64_t* offsets, const int32_t* codes, int64_t n) {
+    blob.assign(in_blob, static_cast<size_t>(offsets[n]));
+    uint64_t cap = next_pow2(static_cast<uint64_t>(n) * 2 + 1);
+    if (cap < 16) cap = 16;
+    off.assign(cap, UINT32_MAX);
+    len.assign(cap, 0);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      uint32_t o = static_cast<uint32_t>(offsets[i]);
+      uint32_t l = static_cast<uint32_t>(offsets[i + 1] - offsets[i]);
+      uint64_t slot = hash_bytes(blob.data() + o, l) & mask;
+      while (off[slot] != UINT32_MAX) slot = (slot + 1) & mask;
+      off[slot] = o;
+      len[slot] = l;
+      vals[slot] = codes[i];
+    }
+  }
+
+  inline bool find(const char* s, uint32_t l, int32_t* out) const {
+    uint64_t slot = hash_bytes(s, l) & mask;
+    while (true) {
+      uint32_t o = off[slot];
+      if (o == UINT32_MAX) return false;
+      if (len[slot] == l && std::memcmp(blob.data() + o, s, l) == 0) {
+        *out = vals[slot];
+        return true;
+      }
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+struct Table {
+  std::unique_ptr<I64Map> i64;
+  std::unique_ptr<StrMap> str;
+};
+
+using TablePtr = std::shared_ptr<Table>;
+
+std::mutex g_mu;
+std::unordered_map<std::string, std::weak_ptr<Table>> g_cache;
+
+TablePtr* wrap(TablePtr p) { return new TablePtr(std::move(p)); }
+
+}  // namespace
+
+extern "C" {
+
+// Returns an existing cached table handle for `name`, or nullptr.
+void* nvt_cat_lookup(const char* name) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  auto it = g_cache.find(name);
+  if (it == g_cache.end()) return nullptr;
+  TablePtr p = it->second.lock();
+  if (!p) {
+    g_cache.erase(it);
+    return nullptr;
+  }
+  return wrap(std::move(p));
+}
+
+void* nvt_cat_create_i64(const char* name, const int64_t* keys, const int32_t* codes,
+                         int64_t n) {
+  auto table = std::make_shared<Table>();
+  table->i64 = std::make_unique<I64Map>();
+  table->i64->build(keys, codes, n);
+  {
+    std::lock_guard<std::mutex> lock(g_mu);
+    g_cache[name] = table;
+  }
+  return wrap(std::move(table));
+}
+
+void* nvt_cat_create_str(const char* name, const char* blob, const int64_t* offsets,
+                         const int32_t* codes, int64_t n) {
+  auto table = std::make_shared<Table>();
+  table->str = std::make_unique<StrMap>();
+  table->str->build(blob, offsets, codes, n);
+  {
+    std::lock_guard<std::mutex> lock(g_mu);
+    g_cache[name] = table;
+  }
+  return wrap(std::move(table));
+}
+
+void nvt_cat_release(void* h) { delete static_cast<TablePtr*>(h); }
+
+// Encode int64 values. validity may be nullptr; oov_index is used for misses
+// (single-OOV-bucket contract, matching the reference C++ kernel's
+// "only one OOV bucket" restriction, categorify.cc:261-263).
+void nvt_cat_encode_i64(void* h, const int64_t* vals, const uint8_t* validity,
+                        int64_t n, int32_t null_index, int32_t oov_index,
+                        int32_t offset, int32_t* out) {
+  const Table& t = **static_cast<TablePtr*>(h);
+  const I64Map& m = *t.i64;
+  for (int64_t i = 0; i < n; ++i) {
+    if (validity && !validity[i]) {
+      out[i] = null_index + offset;
+      continue;
+    }
+    int32_t code;
+    out[i] = (m.find(vals[i], &code) ? code : oov_index) + offset;
+  }
+}
+
+void nvt_cat_encode_str(void* h, const char* blob, const int64_t* offsets,
+                        const uint8_t* validity, int64_t n, int32_t null_index,
+                        int32_t oov_index, int32_t offset, int32_t* out) {
+  const Table& t = **static_cast<TablePtr*>(h);
+  const StrMap& m = *t.str;
+  for (int64_t i = 0; i < n; ++i) {
+    if (validity && !validity[i]) {
+      out[i] = null_index + offset;
+      continue;
+    }
+    const char* s = blob + offsets[i];
+    uint32_t l = static_cast<uint32_t>(offsets[i + 1] - offsets[i]);
+    int32_t code;
+    out[i] = (m.find(s, l, &code) ? code : oov_index) + offset;
+  }
+}
+
+// In-place NaN fill (reference fill.cc:32-106).
+void nvt_fill_f32(float* vals, int64_t n, float fill) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (vals[i] != vals[i]) vals[i] = fill;
+  }
+}
+
+void nvt_fill_f64(double* vals, int64_t n, double fill) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (vals[i] != vals[i]) vals[i] = fill;
+  }
+}
+
+int64_t nvt_cache_size() {
+  std::lock_guard<std::mutex> lock(g_mu);
+  int64_t alive = 0;
+  for (auto& kv : g_cache) {
+    if (!kv.second.expired()) ++alive;
+  }
+  return alive;
+}
+
+}  // extern "C"

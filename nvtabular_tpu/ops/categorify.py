@@ -727,12 +727,21 @@ class Categorify(StatOperator):
     # serving fast path (C++ hash-map lookup; reference categorify.py:602-609)
     # ------------------------------------------------------------------
     def inference_initialize(self, col_selector, model_config=None):
+        """Swap in the native C++ hash-map transform for eager serving —
+        the reference's fast path (categorify.py:602-609). Restrictions
+        match the reference C++ kernel: single OOV bucket, no combo."""
         if self.encode_type == "combo":
+            return None
+        if self.num_buckets not in (None, 1):
             return None
         try:
             from ..serving import native
 
-            return native.CategorifyTransform(self.categories, num_buckets=1)
+            start_index = OOV_OFFSET + 1
+            offsets = {k: v.offset for k, v in self.vocabs.items()}
+            return native.CategorifyTransform(
+                self.categories, num_buckets=1, start_index=start_index, offsets=offsets
+            )
         except Exception:
             return None
 

@@ -1,0 +1,245 @@
+"""ctypes bridge to the C++ serving kernels (cpp/nvt_serving.cc).
+
+The shared library is compiled on demand with g++ (cached next to the
+source, keyed by source hash) — pybind11 is not available in this
+environment, and the C ABI keeps the boundary trivial: numpy arrays in,
+numpy arrays out, zero copies for the hot arrays.
+
+Mirrors the reference's serving kernels:
+* ``CategorifyTransform`` — per-column hash-map lookup with the 0/1/2+
+  pad/null/OOV layout, vocab tables shared across instances through the
+  C++ named cache (reference cpp/nvtabular/inference/categorify.cc).
+* ``FillTransform`` — vectorized NaN fill (reference fill.cc).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CPP = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "cpp", "nvt_serving.cc")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_ERR: Optional[str] = None
+
+
+def _build_and_load() -> ctypes.CDLL:
+    global _LIB, _LIB_ERR
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _LIB_ERR is not None:
+            raise RuntimeError(_LIB_ERR)
+        try:
+            with open(_CPP, "rb") as f:
+                src = f.read()
+            tag = hashlib.sha256(src).hexdigest()[:16]
+            cache_dir = os.environ.get(
+                "NVT_TPU_NATIVE_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "nvtabular_tpu"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            so_path = os.path.join(cache_dir, f"libnvt_serving_{tag}.so")
+            if not os.path.exists(so_path):
+                tmp = so_path + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _CPP, "-o", tmp],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            lib = ctypes.CDLL(so_path)
+        except Exception as e:  # g++ missing, compile error, load error
+            _LIB_ERR = f"native serving library unavailable: {e}"
+            raise RuntimeError(_LIB_ERR) from e
+        _configure(lib)
+        _LIB = lib
+        return lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.nvt_cat_lookup.restype = ctypes.c_void_p
+    lib.nvt_cat_lookup.argtypes = [ctypes.c_char_p]
+    lib.nvt_cat_create_i64.restype = ctypes.c_void_p
+    lib.nvt_cat_create_i64.argtypes = [ctypes.c_char_p, i64p, i32p, ctypes.c_int64]
+    lib.nvt_cat_create_str.restype = ctypes.c_void_p
+    lib.nvt_cat_create_str.argtypes = [ctypes.c_char_p, ctypes.c_char_p, i64p, i32p, ctypes.c_int64]
+    lib.nvt_cat_release.argtypes = [ctypes.c_void_p]
+    lib.nvt_cat_encode_i64.argtypes = [
+        ctypes.c_void_p, i64p, u8p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    lib.nvt_cat_encode_str.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64p, u8p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+    ]
+    lib.nvt_fill_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float]
+    lib.nvt_fill_f64.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double]
+    lib.nvt_cache_size.restype = ctypes.c_int64
+
+
+def native_available() -> bool:
+    try:
+        _build_and_load()
+        return True
+    except RuntimeError:
+        return False
+
+
+class _ColumnTable:
+    """One column's native hash table (int64 or string keys)."""
+
+    def __init__(self, path: str, start_index: int):
+        import pyarrow.parquet as pq
+
+        lib = _build_and_load()
+        self.lib = lib
+        self.start_index = start_index
+        name = os.path.abspath(path).encode()
+        handle = lib.nvt_cat_lookup(name)
+        self.is_str = None
+        if handle:
+            self.handle = handle
+            # key kind must be re-derived for encode dispatch
+            tbl = pq.read_table(path)
+            self.is_str = str(tbl.schema.field(0).type) in ("string", "large_string")
+            return
+        tbl = pq.read_table(path)
+        col = tbl.column(0)
+        values = col.to_numpy(zero_copy_only=False)
+        codes = (np.arange(len(values)) + start_index).astype(np.int32)
+        self.is_str = values.dtype.kind in ("O", "U", "S")
+        if self.is_str:
+            strs = [("" if v is None else str(v)).encode() for v in values]
+            blob = b"".join(strs)
+            offsets = np.zeros(len(strs) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in strs], out=offsets[1:])
+            self.handle = lib.nvt_cat_create_str(
+                name, blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(strs),
+            )
+        else:
+            keys = np.ascontiguousarray(values.astype(np.int64))
+            self.handle = lib.nvt_cat_create_i64(
+                name,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(keys),
+            )
+        if not self.handle:
+            raise RuntimeError(f"failed to build native table for {path}")
+
+    def __del__(self):
+        handle = getattr(self, "handle", None)
+        if handle and self.lib is not None:
+            try:
+                self.lib.nvt_cat_release(handle)
+            except Exception:
+                pass
+
+    def encode(self, values: np.ndarray, validity: Optional[np.ndarray],
+               null_index: int = 1, oov_index: int = 2, offset: int = 0) -> np.ndarray:
+        lib = self.lib
+        n = len(values)
+        out = np.empty(n, dtype=np.int32)
+        valid_ptr = None
+        if values.dtype.kind == "f":
+            nan = np.isnan(values)
+            validity = (~nan) if validity is None else (validity & ~nan)
+        if validity is not None:
+            v8 = np.ascontiguousarray(validity.astype(np.uint8))
+            valid_ptr = v8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if self.is_str:
+            # None and float-NaN (pandas object-column nulls) are both null
+            nulls = [v is None or (isinstance(v, float) and v != v) for v in values]
+            strs = [b"" if isnull else str(v).encode() for v, isnull in zip(values, nulls)]
+            if validity is None and any(nulls):
+                v8 = np.array([not x for x in nulls], dtype=np.uint8)
+                valid_ptr = v8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            blob = b"".join(strs)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in strs], out=offsets[1:])
+            lib.nvt_cat_encode_str(
+                self.handle, blob,
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                valid_ptr, n, null_index, oov_index, offset,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        else:
+            vals = np.ascontiguousarray(values.astype(np.int64))
+            lib.nvt_cat_encode_i64(
+                self.handle,
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                valid_ptr, n, null_index, oov_index, offset,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        return out
+
+
+class CategorifyTransform:
+    """Native eager Categorify: dict-of-numpy in, dict-of-numpy out.
+
+    Restrictions mirror the reference C++ kernel (categorify.py:603-605):
+    single OOV bucket, no combo encoding.
+    """
+
+    def __init__(self, categories: Dict[str, str], num_buckets: int = 1,
+                 start_index: int = 3, offsets: Optional[Dict[str, int]] = None):
+        if num_buckets not in (None, 1):
+            raise ValueError("native CategorifyTransform supports a single OOV bucket")
+        self.tables = {
+            key: _ColumnTable(path, start_index) for key, path in categories.items()
+        }
+        self.offsets = offsets or {}
+
+    def transform(self, col_selector, tensors: Dict[str, Any]) -> Dict[str, Any]:
+        names = getattr(col_selector, "names", col_selector)
+        out = dict(tensors)
+        for name in names:
+            table = self.tables.get(name)
+            if table is None:
+                continue
+            values = np.asarray(tensors[name])
+            out[name] = table.encode(values, None, offset=self.offsets.get(name, 0))
+        return out
+
+
+class FillTransform:
+    """Native eager NaN fill (float32/float64; ints pass through)."""
+
+    def __init__(self, fill_val: float = 0.0):
+        self.lib = _build_and_load()
+        self.fill_val = float(fill_val)
+
+    def transform(self, col_selector, tensors: Dict[str, Any]) -> Dict[str, Any]:
+        names = getattr(col_selector, "names", col_selector)
+        out = dict(tensors)
+        for name in names:
+            values = np.asarray(tensors[name])
+            if values.dtype == np.float32:
+                vals = np.ascontiguousarray(values.copy())
+                self.lib.nvt_fill_f32(
+                    vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    len(vals), self.fill_val,
+                )
+                out[name] = vals
+            elif values.dtype == np.float64:
+                vals = np.ascontiguousarray(values.copy())
+                self.lib.nvt_fill_f64(
+                    vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    len(vals), self.fill_val,
+                )
+                out[name] = vals
+        return out

@@ -1,0 +1,94 @@
+"""Native (C++) serving kernels: parity with the python transform path,
+cross-instance table cache, fill semantics — the analog of the reference's
+C++ inference tests (tests/unit/test_ops.py inference paths)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import nvtabular_tpu as nvt
+from nvtabular_tpu import ops
+
+native = pytest.importorskip("nvtabular_tpu.serving.native")
+if not native.native_available():
+    pytest.skip("g++ toolchain unavailable", allow_module_level=True)
+
+
+@pytest.fixture
+def fitted_cat(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "c_int": rng.choice(rng.integers(0, 1 << 40, 300), n).astype(np.int64),
+            "c_str": rng.choice(np.array(["aa", "bb", "cc", "dd", None], dtype=object), n),
+        }
+    )
+    cat_op = ops.Categorify(freq_threshold=2, out_path=str(tmp_path))
+    wf = nvt.Workflow(["c_int", "c_str"] >> cat_op)
+    wf.fit(nvt.Dataset(df))
+    cat_op._write_vocab_artifacts()
+    return df, cat_op, wf
+
+
+def test_native_categorify_parity(fitted_cat):
+    df, cat_op, wf = fitted_cat
+    t = cat_op.inference_initialize(["c_int", "c_str"])
+    assert t is not None
+    out = t.transform(
+        ["c_int", "c_str"],
+        {"c_int": df["c_int"].to_numpy(), "c_str": df["c_str"].to_numpy()},
+    )
+    py = wf.transform(nvt.TableBatch.from_pandas(df)).to_pandas()
+    np.testing.assert_array_equal(out["c_int"], py["c_int"].to_numpy())
+    np.testing.assert_array_equal(out["c_str"], py["c_str"].to_numpy())
+    assert out["c_int"].dtype == np.int32
+
+
+def test_native_oov_and_null(fitted_cat):
+    df, cat_op, wf = fitted_cat
+    t = cat_op.inference_initialize(["c_int", "c_str"])
+    out = t.transform(
+        ["c_int", "c_str"],
+        {
+            "c_int": np.array([-12345678901234], dtype=np.int64),  # unseen
+            "c_str": np.array([None], dtype=object),  # null
+        },
+    )
+    assert out["c_int"][0] == 2  # OOV
+    assert out["c_str"][0] == 1  # NULL
+
+
+def test_cross_instance_cache(fitted_cat):
+    df, cat_op, wf = fitted_cat
+    lib = native._build_and_load()
+    t1 = cat_op.inference_initialize(["c_int", "c_str"])
+    before = lib.nvt_cache_size()
+    t2 = cat_op.inference_initialize(["c_int", "c_str"])
+    assert lib.nvt_cache_size() == before  # second instance reuses tables
+
+
+def test_native_unsupported_configs():
+    op = ops.Categorify(num_buckets=16)
+    assert op.inference_initialize(["a"]) is None
+    op = ops.Categorify(encode_type="combo")
+    assert op.inference_initialize([("a", "b")]) is None
+
+
+def test_native_fill():
+    fill_op = ops.FillMissing(7.5)
+    t = fill_op.inference_initialize(["x"])
+    assert t is not None
+    for dt in (np.float32, np.float64):
+        x = np.array([1.0, np.nan, 3.0, np.nan], dtype=dt)
+        out = t.transform(["x"], {"x": x})
+        np.testing.assert_array_equal(out["x"], np.array([1.0, 7.5, 3.0, 7.5], dtype=dt))
+        assert np.isnan(x[1])  # input not mutated
+    ints = np.array([1, 2], dtype=np.int64)
+    out = t.transform(["x"], {"x": ints})
+    np.testing.assert_array_equal(out["x"], ints)
+
+
+def test_native_fill_disabled_with_binary_cols():
+    fill_op = ops.FillMissing(0.0, add_binary_cols=True)
+    assert fill_op.inference_initialize(["x"]) is None
