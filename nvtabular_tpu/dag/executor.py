@@ -284,14 +284,25 @@ def _node_jit_safe(op: BaseOperator, selector, input_schema: Optional[Schema]) -
 
 
 class FitEngine:
-    """Phased streaming statistics pass over a Dataset."""
+    """Phased streaming statistics pass over a Dataset.
+
+    Multi-host: each process streams ITS round-robin shard of partitions,
+    then per-op states are allgathered and merged with ``fit_merge`` on
+    every host identically (parallel/multihost.py) — no scheduler process,
+    the SPMD replacement for the reference's dask fit (SURVEY §3.1)."""
 
     def __init__(self, executor: Optional[LocalExecutor] = None):
         self.executor = executor or LocalExecutor()
 
-    def fit(self, dataset, graph: Graph) -> None:
+    def fit(self, dataset, graph: Graph, shard=None) -> None:
+        from ..parallel.multihost import allgather_pyobj, process_count, process_index
+
         if graph.output_schema is None:
             graph.construct_schema(dataset.schema)
+
+        world = process_count()
+        if shard is None and world > 1:
+            shard = (process_index(), world)
 
         phases = graph.stat_phases()
         for phase_idx, phase_nodes in enumerate(phases):
@@ -302,13 +313,16 @@ class FitEngine:
                 id(n): n.op.fit_init(n.selector, n.input_schema) for n in nodes
             }
             columns = self._phase_columns(nodes)
-            for batch in dataset.to_batches(columns=columns):
+            for batch in dataset.to_batches(columns=columns, shard=shard):
                 memo: Dict[int, TableBatch] = {}
                 for n in nodes:
                     input_batch = self.executor.compute_node_input(n, batch, memo)
                     states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
             for n in nodes:
-                n.op.fit_finalize(states[id(n)])
+                state = states[id(n)]
+                if shard is not None and world > 1:
+                    state = n.op.fit_merge(allgather_pyobj(state))
+                n.op.fit_finalize(state)
                 n.op.fitted = True
         # final schema pass so downstream schemas see fitted properties
         # (embedding sizes, domains) computed during fit

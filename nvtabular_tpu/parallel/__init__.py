@@ -9,6 +9,8 @@ bench/examples/dask-nvtabular-criteo-benchmark.py:174-194) becomes
 """
 
 from .mesh import initialize_distributed, make_mesh, local_mesh
+from .sharded_vocab import sharded_value_counts
+from .stats import sharded_moments
 from .train import make_train_step, shard_batch, shard_params
 
 __all__ = [
@@ -18,4 +20,6 @@ __all__ = [
     "make_train_step",
     "shard_batch",
     "shard_params",
+    "sharded_moments",
+    "sharded_value_counts",
 ]
