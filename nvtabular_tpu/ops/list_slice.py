@@ -41,13 +41,31 @@ class ListSlice(Operator):
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         out = TableBatch()
         for name in col_selector.names:
-            col = batch[name].to_host()
+            col = batch[name]
             if not col.is_list:
                 raise ValueError(f"ListSlice input {name!r} is not a list column")
-            out[name] = _slice_list(
-                col, self.start, self.end, self.pad, self.pad_value
-            )
+            if col.backend == "jax" and self.pad and self._max_elements > 0:
+                out[name] = self._slice_device(col)
+            else:
+                out[name] = _slice_list(
+                    col.to_host(), self.start, self.end, self.pad, self.pad_value
+                )
         return out
+
+    def _slice_device(self, col: Column) -> Column:
+        """Device path: one vectorized gather (kernels/ragged.py) instead of
+        the reference's per-row CUDA loop (list_slice.py:201-228)."""
+        import jax.numpy as jnp
+
+        from ..kernels import ragged_slice_padded
+
+        pad_len = self._max_elements
+        padded, new_len = ragged_slice_padded(
+            col.values, col.offsets, self.start, self.end, pad_len, self.pad_value
+        )
+        rows = padded.shape[0]
+        offsets = jnp.arange(rows + 1, dtype=jnp.int32) * pad_len
+        return Column(padded.reshape(-1), offsets, col.validity)
 
     def _compute_shape(self, col_schema, input_schema):
         mx = self._max_elements
