@@ -27,6 +27,7 @@ from .dlrm import (
     make_synthetic_batch,
 )
 from .tabular_mlp import TabularMLPConfig, tabular_mlp_forward, tabular_mlp_init
+from .training import make_step_fns, process_epoch, roc_auc
 
 __all__ = [
     "DLRMConfig",
@@ -38,9 +39,12 @@ __all__ = [
     "dot_product_interaction",
     "embedding_lookup",
     "make_synthetic_batch",
+    "make_step_fns",
     "mlp_apply",
     "mlp_init",
     "multihot_embedding_lookup",
+    "process_epoch",
+    "roc_auc",
     "tabular_mlp_forward",
     "tabular_mlp_init",
     "xdeepfm_outer_product",

@@ -1,0 +1,90 @@
+"""Training loop helpers — analog of the reference's torch
+``process_epoch`` (framework_utils/torch/utils.py:60-120: one epoch of
+forward/backward with AMP) as idiomatic JAX: a jitted optax step, an epoch
+driver over a Loader, and a streaming AUC metric for the Criteo target."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def make_step_fns(loss_fn: Callable, optimizer, forward_fn: Optional[Callable] = None):
+    """→ (train_step, eval_step), both jitted.
+
+    train_step(params, opt_state, batch) → (params, opt_state, loss)
+    eval_step(params, batch) → logits
+    """
+    import jax
+    import optax
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    eval_step = jax.jit(forward_fn) if forward_fn is not None else None
+    return train_step, eval_step
+
+
+def process_epoch(
+    loader: Iterable[Dict[str, Any]],
+    params,
+    opt_state,
+    train_step: Optional[Callable] = None,
+    eval_step: Optional[Callable] = None,
+    label_key: str = "label",
+) -> Tuple[Any, Any, Dict[str, float]]:
+    """One pass over the loader (reference process_epoch:60-120). With
+    ``train_step``: optimize, return mean loss. With ``eval_step``: collect
+    logits/labels and return AUC + logloss."""
+    losses = []
+    logits_all, labels_all = [], []
+    for batch in loader:
+        if train_step is not None:
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            losses.append(float(loss))
+        elif eval_step is not None:
+            logits = eval_step(params, batch)
+            logits_all.append(np.asarray(logits))
+            labels_all.append(np.asarray(batch[label_key]))
+    metrics: Dict[str, float] = {}
+    if losses:
+        metrics["loss"] = float(np.mean(losses))
+    if logits_all:
+        logits = np.concatenate(logits_all)
+        labels = np.concatenate(labels_all)
+        metrics["auc"] = roc_auc(labels, logits)
+        p = 1.0 / (1.0 + np.exp(-logits))
+        eps = 1e-7
+        metrics["logloss"] = float(
+            -np.mean(labels * np.log(p + eps) + (1 - labels) * np.log(1 - p + eps))
+        )
+    return params, opt_state, metrics
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based AUC (exact, ties averaged) — the Criteo parity metric."""
+    labels = np.asarray(labels).astype(np.float64).ravel()
+    scores = np.asarray(scores).astype(np.float64).ravel()
+    pos = labels > 0.5
+    n_pos = int(pos.sum())
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ranks over tied score groups
+    sorted_scores = scores[order]
+    tie_starts = np.concatenate(([True], sorted_scores[1:] != sorted_scores[:-1]))
+    group_id = np.cumsum(tie_starts) - 1
+    group_sum = np.bincount(group_id, weights=np.arange(1, len(scores) + 1))
+    group_cnt = np.bincount(group_id)
+    avg_rank = (group_sum / group_cnt)[group_id]
+    ranks[order] = avg_rank
+    auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return float(auc)
