@@ -1,0 +1,201 @@
+"""Criteo-style phased ETL+training benchmark.
+
+Analog of the reference's multi-GPU benchmark driver
+(reference bench/examples/dask-nvtabular-criteo-benchmark.py:90-300 and the
+ETL pipeline bench/datasets/tools/nvt_etl.py:147-170): 26x Categorify with
+frequency capping + 13x FillMissing→Clip→LogOp→Normalize, shuffled
+multi-file parquet output, then a dataloader pass and optional DLRM
+training steps. Prints a JSON report with per-phase wall-clock.
+
+Usage:
+    python bench/criteo_bench.py --rows 2000000 --parts 4 \
+        --freq-limit 2 --shuffle per_worker --train-steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Criteo-like phased benchmark")
+    p.add_argument("--rows", type=int, default=2_000_000)
+    p.add_argument("--parts", type=int, default=4)
+    p.add_argument("--cats", type=int, default=26)
+    p.add_argument("--conts", type=int, default=13)
+    p.add_argument("--cardinality", type=int, default=100_000)
+    p.add_argument("--freq-limit", type=int, default=2)
+    p.add_argument("--max-size", type=int, default=10_000_000)
+    p.add_argument("--shuffle", default="per_worker",
+                   choices=["per_worker", "per_partition", "none"])
+    p.add_argument("--out-files", type=int, default=4)
+    p.add_argument("--data-path", default=None, help="existing parquet input; else synthesized")
+    p.add_argument("--out-path", default=None)
+    p.add_argument("--train-steps", type=int, default=0, help="DLRM training steps after ETL")
+    p.add_argument("--batch-size", type=int, default=65536)
+    p.add_argument("--device-transform", action="store_true", default=True)
+    p.add_argument("--profile", default=None, help="jax profiler trace dir")
+    return p.parse_args()
+
+
+def synthesize(args, path: str):
+    from nvtabular_tpu.tools import CatCol, ContCol, DatasetGen, LabelCol, PowerLawDistro
+
+    gen = DatasetGen(PowerLawDistro(0.1), seed=0)
+    cols = {
+        "conts": [
+            ContCol(f"I{i}", np.float32, 1, 1000, per_nan=0.05) for i in range(args.conts)
+        ],
+        "cats": [CatCol(f"C{i}", np.int64, cardinality=args.cardinality) for i in range(args.cats)],
+        "labels": [LabelCol("label", np.int64, 2)],
+    }
+    gen.full_df_create(
+        args.rows, cols, output=path, files_per_output=args.parts,
+        rows_per_batch=max(args.rows // args.parts, 1),
+    )
+    return path
+
+
+def main():
+    args = parse_args()
+    import nvtabular_tpu as nvt
+    from nvtabular_tpu import ops
+    from nvtabular_tpu.io.shuffle import Shuffle
+    from nvtabular_tpu.io.writer import write_dataset
+
+    phases = {}
+    workdir = tempfile.mkdtemp(prefix="criteo_bench_")
+    out_path = args.out_path or os.path.join(workdir, "out")
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
+    # phase 0: input data
+    t0 = time.perf_counter()
+    data_path = args.data_path or synthesize(args, os.path.join(workdir, "data"))
+    phases["datagen_s"] = round(time.perf_counter() - t0, 3)
+
+    cat_names = [f"C{i}" for i in range(args.cats)]
+    cont_names = [f"I{i}" for i in range(args.conts)]
+    dataset = nvt.Dataset(data_path)
+
+    # the reference benchmark workflow (dask-nvtabular-criteo-benchmark.py:196-235)
+    cats = cat_names >> ops.Categorify(
+        freq_threshold=args.freq_limit, max_size=args.max_size
+    )
+    conts = (
+        cont_names
+        >> ops.FillMissing()
+        >> ops.Clip(min_value=0.0)
+        >> ops.LogOp()
+        >> ops.Normalize()
+    )
+    workflow = nvt.Workflow(cats + conts + ["label"])
+
+    # phase 1: fit (vocab build + moments)
+    t0 = time.perf_counter()
+    workflow.fit(dataset)
+    phases["fit_s"] = round(time.perf_counter() - t0, 3)
+
+    # phase 2: transform + shuffled write (the reference's headline phase)
+    t0 = time.perf_counter()
+    shuffle = None if args.shuffle == "none" else Shuffle(args.shuffle)
+    transformed = workflow.transform(dataset)
+    write_dataset(transformed, out_path, shuffle=shuffle, out_files=args.out_files)
+    phases["transform_write_s"] = round(time.perf_counter() - t0, 3)
+
+    # phase 3: dataloader pass over the output
+    from nvtabular_tpu.loader import Loader
+
+    t0 = time.perf_counter()
+    out_ds = nvt.Dataset(out_path)
+    loader = Loader(
+        out_ds, batch_size=args.batch_size, shuffle=True, seed=0,
+        cat_names=cat_names, cont_names=cont_names, label_names=["label"],
+        device=False,
+    )
+    rows_seen = sum(len(b["label"]) for b in loader)
+    phases["loader_pass_s"] = round(time.perf_counter() - t0, 3)
+
+    # phase 4: optional DLRM training
+    if args.train_steps > 0:
+        import jax
+        import optax
+
+        from nvtabular_tpu.models import DLRMConfig, dlrm_init, dlrm_loss, make_step_fns
+
+        config = DLRMConfig.from_schema(workflow.output_schema, embedding_dim=64)
+        params = dlrm_init(jax.random.PRNGKey(0), config)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        train_step, _ = make_step_fns(dlrm_loss, opt)
+        dev_loader = Loader(
+            out_ds, batch_size=args.batch_size, shuffle=True, seed=0, drop_last=True,
+            cat_names=cat_names, cont_names=cont_names, label_names=["label"],
+        )
+        it = iter(dev_loader)
+        first = next(it)
+        params, opt_state, loss = train_step(params, opt_state, first)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        steps = 0
+        losses = []
+        while steps < args.train_steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(dev_loader)
+                batch = next(it)
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            losses.append(loss)
+            steps += 1
+        jax.block_until_ready(losses[-1])
+        el = time.perf_counter() - t0
+        phases["train_s"] = round(el, 3)
+        phases["train_examples_per_s"] = round(args.train_steps * args.batch_size / el, 1)
+        phases["final_loss"] = round(float(losses[-1]), 5)
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    etl_s = phases["fit_s"] + phases["transform_write_s"]
+    report = {
+        "rows": args.rows,
+        "cats": args.cats,
+        "conts": args.conts,
+        "etl_s": round(etl_s, 3),
+        "etl_rows_per_s": round(args.rows / etl_s, 1),
+        "loader_rows_per_s": round(rows_seen / phases["loader_pass_s"], 1),
+        "phases": phases,
+        "backend": _backend(),
+    }
+    print(json.dumps(report))
+    if args.out_path is None:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _backend():
+    try:
+        import jax
+
+        return str(jax.devices()[0].platform)
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

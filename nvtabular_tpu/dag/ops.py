@@ -129,14 +129,34 @@ class UDF(BaseOperator):
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         import inspect
 
-        from ..table import as_column
+        import numpy as np
+
+        from ..table import Column, as_column
 
         out = TableBatch()
-        n_params = len(inspect.signature(self.f).parameters)
+        n_params = 1
+        if not isinstance(self.f, np.ufunc):
+            try:
+                n_params = len(
+                    [
+                        p
+                        for p in inspect.signature(self.f).parameters.values()
+                        if p.kind
+                        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                        and p.default is p.empty
+                    ]
+                ) or 1
+            except (ValueError, TypeError):  # builtins/ufuncs without signatures
+                n_params = 1
         for name in col_selector.names:
             col = batch[name]
             res = self.f(col, batch) if n_params >= 2 else self.f(col)
-            out[name] = as_column(res)
+            res = as_column(res)
+            # list column + elementwise result over the flat values →
+            # re-wrap with the original offsets (LambdaOp list-awareness)
+            if col.is_list and not res.is_list and len(res.values) == len(col.values):
+                res = Column(res.values, col.offsets, col.validity)
+            out[name] = res
         return out
 
     @property

@@ -182,3 +182,27 @@ def nullable_series(values, like_dtype=None) -> Column:
 
 def series_has_nulls(col: Column) -> bool:
     return col.has_nulls()
+
+
+def annotate(name: str, color: Optional[str] = None, domain: str = "nvt_tpu"):
+    """Profiling range decorator — analog of the reference's NVTX
+    ``merlin.core.dispatch.annotate`` (applied to op fit/transform bodies,
+    reference categorify.py:345,477 etc.). On TPU the range shows up in
+    XProf/TensorBoard via ``jax.profiler.TraceAnnotation``; falls back to a
+    no-op when jax is unavailable."""
+    import functools
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            try:
+                import jax.profiler as _prof
+
+                with _prof.TraceAnnotation(f"{domain}:{name}"):
+                    return func(*args, **kwargs)
+            except ImportError:
+                return func(*args, **kwargs)
+
+        return wrapper
+
+    return decorator

@@ -40,7 +40,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .. import dtypes as md
-from ..dispatch import hash_array
+from ..dispatch import annotate, hash_array
 from ..selector import ColumnSelector
 from ..table import Column, TableBatch, xnp
 from ..tags import Tags
@@ -412,6 +412,7 @@ class Categorify(StatOperator):
                 state[key] = _VocabAccum()
         return state
 
+    @annotate("Categorify.fit")
     def fit_batch(self, col_selector, batch: TableBatch, state):
         for key, members in self._groups(col_selector):
             if key not in state:
@@ -534,6 +535,7 @@ class Categorify(StatOperator):
                     return False
         return True
 
+    @annotate("Categorify.transform")
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         out = TableBatch()
         jobs: List[Tuple[str, "_Vocab", Column]] = []  # preserve output order

@@ -12,6 +12,7 @@ from typing import Dict
 import numpy as np
 
 from .. import dtypes as md
+from ..dispatch import annotate
 from ..selector import ColumnSelector
 from ..table import Column, TableBatch, xnp
 from ..tags import Tags
@@ -54,6 +55,7 @@ class Normalize(StatOperator):
         self.means, self.stds = {}, {}
 
     # --- transform ---------------------------------------------------------
+    @annotate("Normalize.transform")
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         out = TableBatch()
         tgt = md.normalize(self.out_dtype).numpy_dtype if self.out_dtype else np.float32

@@ -209,6 +209,12 @@ class Column:
         vals = np.asarray(c.values)
         return [vals[offs[i] : offs[i + 1]].tolist() for i in range(len(c))]
 
+    def __array__(self, dtype=None, copy=None):
+        """numpy interop: a Column acts as its (flat) values array, so
+        numpy/jnp ufuncs apply directly (UDF/LambdaOp contract)."""
+        arr = np.asarray(self.to_host().values)
+        return arr.astype(dtype) if dtype is not None else arr
+
     def __repr__(self):
         kind = "list" if self.is_list else "scalar"
         return f"Column({kind}, {self.dtype.name}, n={len(self)}, backend={self.backend})"
