@@ -136,17 +136,54 @@ class JitExecutor(LocalExecutor):
         return True
 
     def _jit_transform(self, batch: TableBatch, output_node: Node) -> TableBatch:
+        prepared = self._prepare(batch, output_node)
+        return self._dispatch(prepared, output_node)
+
+    def transform_batches(self, batches, output_node: Node):
+        """Pipelined streaming transform: host prep + h2d transfer of batch
+        i+1 overlaps the (async) device execution of batch i — the
+        read/compute overlap the reference gets from the dask scheduler
+        (SURVEY §2.8 P1), here a one-deep prepare pipeline."""
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            pending_host = None
+            for batch in batches:
+                if (
+                    batch.num_rows < self.jit_min_rows
+                    or not self.graph_is_jittable(output_node, batch)
+                ):
+                    # drain pipeline, run fallback path in order
+                    if fut is not None:
+                        yield self._dispatch(fut.result(), output_node)
+                        fut = None
+                    yield super().transform_batch(batch, output_node)
+                    continue
+                nxt = pool.submit(self._prepare, batch, output_node)
+                if fut is not None:
+                    yield self._dispatch(fut.result(), output_node)
+                fut = nxt
+            if fut is not None:
+                yield self._dispatch(fut.result(), output_node)
+
+    def _prepare(self, batch: TableBatch, output_node: Node):
+        """Host-side work + transfer: pad to the row bucket, pack same-dtype
+        columns into a few large stacks, ONE device_put (per-transfer
+        latency amortizes across the whole batch)."""
         import jax
 
         n_rows = batch.num_rows
         host = batch.to_host()
         padded, meta = (_pad_batch(host) if self.bucket else (host, None))
         stacked, layout = _stack_batch(padded)
-        # ONE device_put over a few large same-dtype buffers instead of one
-        # per column: per-transfer latency (PCIe setup / tunnel round-trip)
-        # amortizes across the whole batch, and XLA slices the stacks apart
-        # for free inside the fused program.
         device_arrays = jax.device_put(stacked)
+        return device_arrays, layout, stacked, n_rows, batch.row_offset, meta
+
+    def _dispatch(self, prepared, output_node: Node) -> TableBatch:
+        import jax
+
+        device_arrays, layout, stacked, n_rows, row_offset, meta = prepared
         # fitted state (vocab tables) rides as jit arguments, NOT constants
         # (multi-MB constants stall XLA compilation; see dag/device_state.py)
         state = self._collect_device_state(output_node)
@@ -162,7 +199,7 @@ class JitExecutor(LocalExecutor):
             def run(stacked_dict, state_dict):
                 array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
-                b.row_offset = batch.row_offset
+                b.row_offset = row_offset
                 with device_state_scope(state_dict):
                     out = LocalExecutor().transform_batch(b, output_node)
                 return out.to_dict_of_arrays()
@@ -178,7 +215,7 @@ class JitExecutor(LocalExecutor):
             self._device_state_cache = {state_token: dev_state}
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
-        out.row_offset = batch.row_offset
+        out.row_offset = row_offset
         if meta is not None and out.num_rows != n_rows:
             out = _unpad_batch(out, n_rows)
         return out

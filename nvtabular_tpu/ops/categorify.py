@@ -414,13 +414,14 @@ class Categorify(StatOperator):
 
     @annotate("Categorify.fit")
     def fit_batch(self, col_selector, batch: TableBatch, state):
+        jobs = []  # (accum, values, validity)
         for key, members in self._groups(col_selector):
             if key not in state:
                 continue
             accum = state[key]
             if len(members) > 1 and self.encode_type == "combo":
                 values, validity = _combo_values(batch, members)
-                accum.update(values, validity)
+                jobs.append((accum, values, validity))
             else:
                 for mcol in members:
                     col = batch[mcol].to_host()
@@ -432,7 +433,28 @@ class Categorify(StatOperator):
                         # flatten multihots for vocab counting
                         # (reference _maybe_flatten_list_column, :1828)
                         validity = None
-                    accum.update(vals, validity)
+                    jobs.append((accum, vals, validity))
+        # group by accumulator: joint-encoded members share one accum and
+        # must stay serial; distinct accums parallelize (arrow value_counts
+        # releases the GIL — the per-column dask-task parallelism of the
+        # reference's fit collapsed into one thread pool)
+        by_accum: Dict[int, List] = {}
+        for job in jobs:
+            by_accum.setdefault(id(job[0]), []).append(job)
+        groups = list(by_accum.values())
+
+        def run_group(group):
+            for accum, vals, validity in group:
+                accum.update(vals, validity)
+
+        if len(groups) >= 4:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=min(8, len(groups))) as pool:
+                list(pool.map(run_group, groups))
+        else:
+            for group in groups:
+                run_group(group)
         return state
 
     def fit_merge(self, states):

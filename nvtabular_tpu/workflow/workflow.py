@@ -190,11 +190,23 @@ class TransformedDataset(Dataset):
     def infer_schema(self) -> Schema:
         return self._workflow.output_schema
 
-    def to_batches(self, columns=None, prefetch: int = 2, shard=None):
+    def to_batches(self, columns=None, prefetch: int = 2, shard=None, host: bool = True):
+        """``host=False`` keeps transformed batches device-resident (feeding
+        a device consumer like the training loop without a d2h round trip)."""
         wf = self._workflow
         input_cols = wf._input_columns or None
-        for batch in self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard):
-            out = wf.executor.transform_batch(batch, wf.graph.output_node).to_host()
+        source = self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard)
+        pipelined = getattr(wf.executor, "transform_batches", None)
+        outputs = (
+            pipelined(source, wf.graph.output_node)
+            if pipelined is not None
+            else (
+                wf.executor.transform_batch(b, wf.graph.output_node) for b in source
+            )
+        )
+        for out in outputs:
+            if host:
+                out = out.to_host()
             if columns:
                 out = out.select([c for c in columns if c in out])
             yield out
