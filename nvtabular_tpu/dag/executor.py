@@ -140,10 +140,12 @@ class JitExecutor(LocalExecutor):
         return self._dispatch(prepared, output_node)
 
     def transform_batches(self, batches, output_node: Node):
-        """Pipelined streaming transform: host prep + h2d transfer of batch
-        i+1 overlaps the (async) device execution of batch i — the
-        read/compute overlap the reference gets from the dask scheduler
-        (SURVEY §2.8 P1), here a one-deep prepare pipeline."""
+        """Pipelined streaming transform: the HOST work (pad + column
+        stacking) for batch i+1 overlaps the (async) device execution of
+        batch i — the read/compute overlap the reference gets from the dask
+        scheduler (SURVEY §2.8 P1). Transfers and dispatch stay on the
+        calling thread: concurrent device_put segfaults some PJRT plugins
+        (observed on the axon TPU tunnel)."""
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
@@ -168,22 +170,21 @@ class JitExecutor(LocalExecutor):
                 yield self._dispatch(fut.result(), output_node)
 
     def _prepare(self, batch: TableBatch, output_node: Node):
-        """Host-side work + transfer: pad to the row bucket, pack same-dtype
-        columns into a few large stacks, ONE device_put (per-transfer
-        latency amortizes across the whole batch)."""
-        import jax
-
+        """Host-side work only (thread-safe): pad to the row bucket and pack
+        same-dtype columns into a few large stacks."""
         n_rows = batch.num_rows
         host = batch.to_host()
         padded, meta = (_pad_batch(host) if self.bucket else (host, None))
         stacked, layout = _stack_batch(padded)
-        device_arrays = jax.device_put(stacked)
-        return device_arrays, layout, stacked, n_rows, batch.row_offset, meta
+        return layout, stacked, n_rows, batch.row_offset, meta
 
     def _dispatch(self, prepared, output_node: Node) -> TableBatch:
         import jax
 
-        device_arrays, layout, stacked, n_rows, row_offset, meta = prepared
+        layout, stacked, n_rows, row_offset, meta = prepared
+        # ONE device_put over a few large same-dtype buffers: per-transfer
+        # latency amortizes across the whole batch
+        device_arrays = jax.device_put(stacked)
         # fitted state (vocab tables) rides as jit arguments, NOT constants
         # (multi-MB constants stall XLA compilation; see dag/device_state.py)
         state = self._collect_device_state(output_node)

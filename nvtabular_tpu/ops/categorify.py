@@ -434,27 +434,12 @@ class Categorify(StatOperator):
                         # (reference _maybe_flatten_list_column, :1828)
                         validity = None
                     jobs.append((accum, vals, validity))
-        # group by accumulator: joint-encoded members share one accum and
-        # must stay serial; distinct accums parallelize (arrow value_counts
-        # releases the GIL — the per-column dask-task parallelism of the
-        # reference's fit collapsed into one thread pool)
-        by_accum: Dict[int, List] = {}
-        for job in jobs:
-            by_accum.setdefault(id(job[0]), []).append(job)
-        groups = list(by_accum.values())
-
-        def run_group(group):
-            for accum, vals, validity in group:
-                accum.update(vals, validity)
-
-        if len(groups) >= 4:
-            import concurrent.futures as cf
-
-            with cf.ThreadPoolExecutor(max_workers=min(8, len(groups))) as pool:
-                list(pool.map(run_group, groups))
-        else:
-            for group in groups:
-                run_group(group)
+        # NOTE: columns are counted serially on purpose — concurrent
+        # pyarrow value_counts segfaults in this environment (observed under
+        # a ThreadPoolExecutor with the TPU plugin loaded); arrow already
+        # parallelizes internally per call.
+        for accum, vals, validity in jobs:
+            accum.update(vals, validity)
         return state
 
     def fit_merge(self, states):
