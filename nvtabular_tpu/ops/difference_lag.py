@@ -57,11 +57,11 @@ class DifferenceLag(Operator):
                     continue
                 col = batch[name]
                 m = xnp(col.values)
-                fvals = col.values.astype(np.float64 if m is np else "float32")
+                fvals = col.values.astype("float32")
                 shifted = _shift(fvals, shift, m)
                 diff = fvals - shifted
                 diff = m.where(same, diff, m.asarray(np.nan, dtype=diff.dtype))
-                out[f"{name}_difference_lag_{shift}"] = Column(diff)
+                out[f"{name}_difference_lag_{shift}"] = Column(diff.astype("float32"))
         return out
 
     @property
