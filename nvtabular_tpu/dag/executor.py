@@ -342,9 +342,22 @@ class FitEngine:
         if shard is None and world > 1:
             shard = (process_index(), world)
 
+        from .ops import Subgraph
+
         phases = graph.stat_phases()
         for phase_idx, phase_nodes in enumerate(phases):
             nodes = [n for n in phase_nodes if not getattr(n.op, "fitted", False)]
+            if not nodes:
+                continue
+            # subgraph nodes fit recursively over their own input stream
+            # (the reference addresses subworkflows the same way via
+            # get_subworkflow().fit, workflow.py:168)
+            sub_nodes = [n for n in nodes if isinstance(n.op, Subgraph)]
+            for n in sub_nodes:
+                inner_ds = _NodeInputDataset(dataset, self.executor, n)
+                self.fit(inner_ds, n.op.graph, shard=shard)
+                n.op.fitted = True
+            nodes = [n for n in nodes if not isinstance(n.op, Subgraph)]
             if not nodes:
                 continue
             states = {
@@ -375,6 +388,28 @@ class FitEngine:
                 if not up.parents_with_dependencies and up.selector is not None:
                     needed.update(up.selector.names)
         return sorted(needed) if needed else None
+
+
+class _NodeInputDataset:
+    """Adapter presenting 'the input batches of node X' as a Dataset for the
+    recursive fit of Subgraph inner graphs."""
+
+    def __init__(self, dataset, executor: LocalExecutor, node: Node):
+        self._dataset = dataset
+        self._executor = executor
+        self._node = node
+
+    @property
+    def schema(self):
+        return self._node.input_schema or self._dataset.schema
+
+    def to_batches(self, columns=None, prefetch: int = 2, shard=None):
+        for batch in self._dataset.to_batches(prefetch=prefetch, shard=shard):
+            memo: Dict[int, TableBatch] = {}
+            out = self._executor.compute_node_input(self._node, batch, memo)
+            if columns:
+                out = out.select([c for c in columns if c in out])
+            yield out
 
 
 def _upstream_closure(node: Node) -> List[Node]:

@@ -115,6 +115,7 @@ class Graph:
         (the reference's chained-stat-op semantics,
         tests/unit/workflow/test_workflow_chaining.py)."""
         from .base_operator import StatOperator
+        from .ops import Subgraph
 
         depth: Dict[int, int] = {}
         phases: Dict[int, List[Node]] = {}
@@ -122,7 +123,12 @@ class Graph:
             d = 0
             for parent in node.parents_with_dependencies:
                 d = max(d, depth.get(id(parent), 0))
-            if isinstance(node.op, StatOperator):
+            is_stat = isinstance(node.op, StatOperator)
+            # a Subgraph with unfitted inner stat ops behaves like a stat
+            # node: it must be (recursively) fit before downstream consumers
+            if isinstance(node.op, Subgraph) and _has_unfitted_stats(node.op.graph):
+                is_stat = True
+            if is_stat:
                 phases.setdefault(d, []).append(node)
                 d += 1
             depth[id(node)] = d
@@ -149,3 +155,15 @@ class Graph:
 
     def __repr__(self):
         return f"<Graph nodes={len(self.nodes)} output={self.output_node.label}>"
+
+
+def _has_unfitted_stats(graph: "Graph") -> bool:
+    from .base_operator import StatOperator
+    from .ops import Subgraph
+
+    for node in graph.nodes:
+        if isinstance(node.op, StatOperator) and not getattr(node.op, "fitted", False):
+            return True
+        if isinstance(node.op, Subgraph) and _has_unfitted_stats(node.op.graph):
+            return True
+    return False

@@ -257,7 +257,9 @@ class TargetEncoding(StatOperator):
     def _compute_tags(self, col_schema, input_schema):
         from ..tags import Tags
 
-        return col_schema.with_tags([Tags.CONTINUOUS])
+        # the TE_* output is continuous even when derived from a column
+        # tagged categorical upstream (e.g. after Categorify)
+        return col_schema.without_tags([Tags.CATEGORICAL]).with_tags([Tags.CONTINUOUS])
 
     # --- persistence -----------------------------------------------------
     def serialize_params(self):

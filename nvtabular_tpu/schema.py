@@ -69,6 +69,10 @@ class ColumnSchema:
     def with_tags(self, tags: Union[TagLike, Iterable[TagLike]]) -> "ColumnSchema":
         return replace(self, tags=self.tags.union(TagSet(tags)))
 
+    def without_tags(self, tags: Union[TagLike, Iterable[TagLike]]) -> "ColumnSchema":
+        drop = set(TagSet(tags))
+        return replace(self, tags=TagSet([t for t in self.tags if t not in drop]))
+
     def with_properties(self, properties: Dict[str, Any]) -> "ColumnSchema":
         props = dict(self.properties)
         props.update(properties)
