@@ -40,6 +40,13 @@ def _expand_paths(source) -> List[str]:
             out.extend(_expand_paths(s))
         return out
     source = str(source)
+    if "://" in source and not source.startswith("file://"):
+        # remote object store via fsspec (the reference reads s3/gcs through
+        # fsspec the same way — graph_serializer.py uses fsspec, tests
+        # exercise a mocked s3 at tests/unit/test_s3.py)
+        return _expand_remote(source)
+    if source.startswith("file://"):
+        source = source[len("file://"):]
     if os.path.isdir(source):
         files = sorted(
             os.path.join(source, f)
@@ -50,6 +57,41 @@ def _expand_paths(source) -> List[str]:
     if any(ch in source for ch in "*?["):
         return sorted(globmod.glob(source))
     return [source]
+
+
+def _expand_remote(source: str) -> List[str]:
+    import fsspec
+
+    fs, _, paths = fsspec.get_fs_token_paths(source)
+    protocol = source.split("://", 1)[0]
+    out = []
+    for p in paths:
+        if fs.isdir(p):
+            out.extend(
+                f for f in sorted(fs.ls(p, detail=False))
+                if str(f).endswith((".parquet", ".pq", ".csv"))
+            )
+        else:
+            out.append(p)
+    # re-attach the protocol so downstream opens route through fsspec
+    return [p if "://" in str(p) else f"{protocol}://{p}" for p in out]
+
+
+def _open_file(path: str, mode: str = "rb"):
+    """Open local or fsspec-remote path."""
+    if "://" in path and not path.startswith("file://"):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path[len("file://"):] if path.startswith("file://") else path, mode)
+
+
+def _parquet_file(path: str):
+    import pyarrow.parquet as pq
+
+    if "://" in path and not path.startswith("file://"):
+        return pq.ParquetFile(_open_file(path))
+    return pq.ParquetFile(path)
 
 
 class _Partition:
@@ -84,9 +126,7 @@ class _ParquetPartition(_Partition):
         self.rows = rows
 
     def load(self, columns=None) -> TableBatch:
-        import pyarrow.parquet as pq
-
-        f = pq.ParquetFile(self.path)
+        f = _parquet_file(self.path)
         table = f.read_row_groups(self.row_groups, columns=columns, use_threads=True)
         return TableBatch.from_arrow(table)
 
@@ -213,11 +253,9 @@ class Dataset:
         return parts
 
     def _plan_parquet(self, paths: List[str]) -> List[_Partition]:
-        import pyarrow.parquet as pq
-
         parts: List[_Partition] = []
         for path in paths:
-            meta = pq.ParquetFile(path).metadata
+            meta = _parquet_file(path).metadata
             current: List[int] = []
             cur_bytes = 0
             cur_rows = 0
@@ -263,7 +301,7 @@ class Dataset:
         if isinstance(part, _ParquetPartition):
             import pyarrow.parquet as pq
 
-            arrow_schema = pq.ParquetFile(part.path).schema_arrow
+            arrow_schema = _parquet_file(part.path).schema_arrow
             return _schema_from_arrow(arrow_schema)
         sample = part.load()
         return sample.infer_schema()

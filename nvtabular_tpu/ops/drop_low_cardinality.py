@@ -27,10 +27,11 @@ class DropLowCardinality(Operator):
                 continue
             if Tags.CATEGORICAL in cs.tags:
                 domain = cs.properties.get("domain")
-                if domain is not None:
-                    card = domain.get("max", 0) - domain.get("min", 0) + 1
-                    if card < self.min_cardinality:
-                        continue
+                if domain is not None and domain.get("max", 0) <= self.min_cardinality:
+                    # max code ≤ threshold → the column carries (almost) no
+                    # information (reference drop_low_cardinality.py:53-89
+                    # compares int_domain.max against min_cardinality)
+                    continue
             keep.append(name)
         return ColumnSelector(keep)
 
