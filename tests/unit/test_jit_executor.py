@@ -80,3 +80,23 @@ def test_jit_cache_reuse():
     _ = wf.transform(ds).to_table()
     # partitions of equal bucket share one compiled program
     assert len(ex._jit_cache) <= 2
+
+
+def test_jit_multihot_categorify_matches_host():
+    """Ragged (list) columns survive the jit path: padding of values and
+    offsets, device encode of flat values, offset re-wrap, unpadding."""
+    rng = np.random.default_rng(6)
+    n = 3000
+    df = pd.DataFrame({"i": rng.integers(0, 50, n).astype(np.int64)})
+    df["mh"] = [list(rng.integers(0, 12, rng.integers(0, 5)).astype(np.int64)) for _ in range(n)]
+    ds = nvt.Dataset(df, part_size=64 * 1024)
+
+    wf = nvt.Workflow(["i", "mh"] >> ops.Categorify(), executor=JitExecutor(jit_min_rows=0))
+    jit_out = wf.fit_transform(ds).to_table()
+    wf2 = nvt.Workflow(["i", "mh"] >> ops.Categorify(), executor=LocalExecutor())
+    wf2.fit(ds)
+    host_out = wf2.transform(ds).to_table()
+    np.testing.assert_array_equal(
+        np.asarray(jit_out["i"].values), np.asarray(host_out["i"].values)
+    )
+    assert jit_out["mh"].to_pylist() == host_out["mh"].to_pylist()

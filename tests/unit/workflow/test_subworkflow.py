@@ -66,3 +66,16 @@ def test_downstream_stat_after_subgraph():
     out = wf.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
     te_col = [c for c in out.columns if c.startswith("TE_")][0]
     assert np.isfinite(out[te_col]).all()
+
+
+def test_subgraph_save_load(tmp_path):
+    df = _df()
+    inner = ["cat"] >> ops.Categorify()
+    wf = nvt.Workflow((["cat"] >> Subgraph("enc", inner)) + (["x"] >> ops.Normalize()))
+    wf.fit(nvt.Dataset(df))
+    wf.save(str(tmp_path / "wf"))
+    wf2 = nvt.Workflow.load(str(tmp_path / "wf"))
+    a = wf.transform(nvt.TableBatch.from_pandas(df))
+    b = wf2.transform(nvt.TableBatch.from_pandas(df))
+    np.testing.assert_array_equal(np.asarray(a["cat"].values), np.asarray(b["cat"].values))
+    assert "enc" in wf2.graph.subgraphs
