@@ -342,10 +342,13 @@ class FitEngine:
         if shard is None and world > 1:
             shard = (process_index(), world)
 
+        import time
+
         from .ops import Subgraph
 
         phases = graph.stat_phases()
         for phase_idx, phase_nodes in enumerate(phases):
+            phase_start = time.perf_counter()
             nodes = [n for n in phase_nodes if not getattr(n.op, "fitted", False)]
             if not nodes:
                 continue
@@ -375,6 +378,13 @@ class FitEngine:
                     state = n.op.fit_merge(allgather_pyobj(state))
                 n.op.fit_finalize(state)
                 n.op.fitted = True
+            # per-phase wall-clock (the dask-dashboard observability analog)
+            LOG.info(
+                "fit phase %d (%s): %.3fs",
+                phase_idx,
+                ",".join(n.op.label for n in nodes),
+                time.perf_counter() - phase_start,
+            )
         # final schema pass so downstream schemas see fitted properties
         # (embedding sizes, domains) computed during fit
         root = dataset.schema

@@ -26,15 +26,33 @@ from .dlrm import (
     dlrm_param_specs,
     make_synthetic_batch,
 )
+from .deepfm import (
+    DCNConfig,
+    DeepFMConfig,
+    dcn_forward,
+    dcn_init,
+    dcn_loss,
+    deepfm_forward,
+    deepfm_init,
+    deepfm_loss,
+)
 from .tabular_mlp import TabularMLPConfig, tabular_mlp_forward, tabular_mlp_init
 from .training import make_step_fns, process_epoch, roc_auc
 
 __all__ = [
+    "DCNConfig",
     "DLRMConfig",
+    "DeepFMConfig",
     "TabularMLPConfig",
     "dlrm_forward",
     "dlrm_init",
     "dlrm_loss",
+    "dcn_forward",
+    "dcn_init",
+    "dcn_loss",
+    "deepfm_forward",
+    "deepfm_init",
+    "deepfm_loss",
     "dlrm_param_specs",
     "dot_product_interaction",
     "embedding_lookup",

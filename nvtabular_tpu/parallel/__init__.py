@@ -9,6 +9,7 @@ bench/examples/dask-nvtabular-criteo-benchmark.py:174-194) becomes
 """
 
 from .mesh import initialize_distributed, make_mesh, local_mesh
+from .embeddings import sharded_embedding_bag, sharded_embedding_lookup
 from .sharded_vocab import sharded_value_counts
 from .stats import sharded_moments
 from .train import make_train_step, shard_batch, shard_params
@@ -20,6 +21,8 @@ __all__ = [
     "make_train_step",
     "shard_batch",
     "shard_params",
+    "sharded_embedding_bag",
+    "sharded_embedding_lookup",
     "sharded_moments",
     "sharded_value_counts",
 ]

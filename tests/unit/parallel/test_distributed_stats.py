@@ -65,3 +65,28 @@ def test_sharded_value_counts_ragged_padding(mesh):
     assert overflow == 0
     assert len(counts) == 1003
     assert all(c == 1 for c in counts.values())
+
+
+def test_sharded_embedding_lookup_matches_take(mesh):
+    import jax.numpy as jnp
+
+    from nvtabular_tpu.parallel.embeddings import (
+        sharded_embedding_bag,
+        sharded_embedding_lookup,
+    )
+
+    rng = np.random.default_rng(3)
+    V, D, B = 64, 8, 32  # V divisible by 8-way model... mesh is 1D data; build 2D
+    from nvtabular_tpu.parallel import make_mesh
+
+    mesh2 = make_mesh({"data": -1, "model": 2})
+    table = rng.normal(size=(V, D)).astype(np.float32)
+    idx = rng.integers(0, V, B)
+    out = np.asarray(sharded_embedding_lookup(table, idx, mesh2))
+    np.testing.assert_allclose(out, table[idx], rtol=1e-6)
+
+    vals = rng.integers(0, V, (B, 4))
+    mask = (rng.random((B, 4)) < 0.7).astype(np.float32)
+    out = np.asarray(sharded_embedding_bag(table, vals, mask, mesh2))
+    expect = (table[vals] * mask[..., None]).sum(1) / np.maximum(mask.sum(1), 1.0)[:, None]
+    np.testing.assert_allclose(out, expect, rtol=1e-5)

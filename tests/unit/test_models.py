@@ -197,3 +197,44 @@ def test_dlrm_config_from_schema():
     assert config.cardinalities == {"cat1": 100}
     assert config.multihot_cardinalities == {"mh1": 64}
     assert config.num_dense == 1
+
+
+@pytest.mark.parametrize("family", ["deepfm", "dcn"])
+def test_deepfm_dcn_train(family):
+    from nvtabular_tpu.models import (
+        DCNConfig, DeepFMConfig, dcn_init, dcn_loss, deepfm_init, deepfm_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 256
+    batch = {
+        "a": jnp.asarray(rng.integers(0, 100, n)),
+        "b": jnp.asarray(rng.integers(0, 50, n)),
+        "dense": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        # learnable signal: label correlates with feature a parity
+        "label": jnp.asarray((rng.integers(0, 100, n) % 2).astype(np.float32)),
+    }
+    batch["label"] = (np.asarray(batch["a"]) % 2).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if family == "deepfm":
+        config = DeepFMConfig({"a": 100, "b": 50}, num_dense=3, embedding_dim=8, deep_mlp=(16,))
+        params, loss_fn = deepfm_init(jax.random.PRNGKey(0), config), deepfm_loss
+    else:
+        config = DCNConfig({"a": 100, "b": 50}, num_dense=3, embedding_dim=8,
+                           num_cross_layers=2, deep_mlp=(16,))
+        params, loss_fn = dcn_init(jax.random.PRNGKey(0), config), dcn_loss
+    opt = optax.adam(5e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, b):
+        l, g = jax.value_and_grad(loss_fn)(p, b)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3  # memorizes the parity signal
+    assert np.isfinite(losses).all()
