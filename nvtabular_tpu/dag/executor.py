@@ -178,12 +178,21 @@ class JitExecutor(LocalExecutor):
         stacked, layout = _stack_batch(padded)
         return layout, stacked, n_rows, batch.row_offset, meta
 
+    def stage(self, batch: TableBatch, output_node: Node):
+        """Pre-transfer a batch to HBM (host prep + device_put) without
+        dispatching; pass the result to ``_dispatch`` later. Lets callers
+        front-load all transfers before any device readback."""
+        import jax
+
+        layout, stacked, n_rows, row_offset, meta = self._prepare(batch, output_node)
+        return layout, jax.device_put(stacked), n_rows, row_offset, meta
+
     def _dispatch(self, prepared, output_node: Node) -> TableBatch:
         import jax
 
         layout, stacked, n_rows, row_offset, meta = prepared
         # ONE device_put over a few large same-dtype buffers: per-transfer
-        # latency amortizes across the whole batch
+        # latency amortizes across the whole batch (no-op for staged inputs)
         device_arrays = jax.device_put(stacked)
         # fitted state (vocab tables) rides as jit arguments, NOT constants
         # (multi-MB constants stall XLA compilation; see dag/device_state.py)
