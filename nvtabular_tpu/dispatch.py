@@ -206,3 +206,78 @@ def annotate(name: str, color: Optional[str] = None, domain: str = "nvt_tpu"):
         return wrapper
 
     return decorator
+
+
+# --- compat surface (reference merlin.core.dispatch names) -------------------
+
+DataFrameType = TableBatch
+SeriesType = Column
+
+
+def make_df(data: Optional[dict] = None) -> TableBatch:
+    """Reference `make_df` — here always a TableBatch (no cudf/pandas split)."""
+    return TableBatch.from_pydict(data or {})
+
+
+def make_series(values) -> Column:
+    return as_column(values)
+
+
+def is_dataframe_object(obj) -> bool:
+    return isinstance(obj, TableBatch)
+
+
+def is_series_object(obj) -> bool:
+    return isinstance(obj, Column)
+
+
+def is_cpu_object(obj) -> bool:
+    """True when host-resident (numpy-backed)."""
+    if isinstance(obj, Column):
+        return obj.backend == "numpy"
+    if isinstance(obj, TableBatch):
+        return all(c.backend == "numpy" for c in obj.columns.values())
+    return isinstance(obj, np.ndarray)
+
+
+def to_host(obj):
+    """Device → host (reference `to_host`/`from_host` pair)."""
+    return obj.to_host() if hasattr(obj, "to_host") else np.asarray(obj)
+
+
+def from_host(obj):
+    return obj.to_device() if hasattr(obj, "to_device") else obj
+
+
+def random_state(seed: Optional[int] = None):
+    """Seeded RNG (reference `random_state` returns a cupy/numpy state)."""
+    return np.random.default_rng(seed)
+
+
+def detect_format(data) -> str:
+    """'table' | 'column' | 'array' | 'unknown' (reference detect_format/ExtData)."""
+    if isinstance(data, TableBatch):
+        return "table"
+    if isinstance(data, Column):
+        return "column"
+    if isinstance(data, np.ndarray):
+        return "array"
+    mod = type(data).__module__
+    if mod.startswith("pandas"):
+        return "pandas"
+    if mod.startswith("pyarrow"):
+        return "arrow"
+    return "unknown"
+
+
+def convert_data(data, cpu: bool = True):
+    """Normalize external data into a TableBatch (reference convert_data)."""
+    if isinstance(data, TableBatch):
+        return data.to_host() if cpu else data
+    if detect_format(data) == "pandas":
+        return TableBatch.from_pandas(data)
+    if detect_format(data) == "arrow":
+        return TableBatch.from_arrow(data)
+    if isinstance(data, dict):
+        return TableBatch.from_pydict(data)
+    raise TypeError(f"cannot convert {type(data).__name__} to TableBatch")

@@ -84,3 +84,34 @@ def test_schema_serialization_roundtrip():
     )
     rt = Schema.from_dict(schema.to_dict())
     assert rt == schema
+
+
+def test_utils_and_dispatch_compat():
+    """Reference merlin.core surface parity (utils + dispatch shims)."""
+    import numpy as np
+
+    from nvtabular_tpu import dispatch, utils
+    from nvtabular_tpu.table import Column, TableBatch
+
+    assert utils.device_mem_size(cpu=True) > 0
+    assert utils.device_mem_size() > 0
+    utils.set_dask_client("x")
+    assert utils.global_dask_client() == "x"
+    assert utils.run_on_worker(lambda a: a + 1, 41) == 42
+    with utils.Serial():
+        pass
+    with utils.Distributed(axes={"data": -1}) as d:
+        assert d.mesh.shape["data"] >= 1
+
+    tb = dispatch.make_df({"a": [1, 2, 3]})
+    assert dispatch.is_dataframe_object(tb)
+    assert dispatch.is_series_object(dispatch.make_series([1.0, 2.0]))
+    assert dispatch.is_cpu_object(tb)
+    assert dispatch.detect_format(tb) == "table"
+    import pandas as pd
+
+    assert dispatch.detect_format(pd.DataFrame({"a": [1]})) == "pandas"
+    back = dispatch.convert_data(pd.DataFrame({"a": [1, 2]}))
+    assert back.num_rows == 2
+    rng = dispatch.random_state(0)
+    assert rng.integers(0, 10) == dispatch.random_state(0).integers(0, 10)
