@@ -60,6 +60,44 @@ class ColumnSimilarity(Operator):
         out[f"{names[0]}_{names[1]}_sim"] = Column(sims.astype(np.float32))
         return out
 
+
+    # --- persistence: CSR matrices as .npz artifacts ----------------------
+    def set_storage_path(self, new_path, copy=False):
+        import os
+
+        os.makedirs(new_path, exist_ok=True)
+        left = os.path.join(new_path, "similarity_left.npz")
+        _save_csr(self.left_features, left)
+        self._left_path = left
+        if self.right_features is not self.left_features:
+            right = os.path.join(new_path, "similarity_right.npz")
+            _save_csr(self.right_features, right)
+            self._right_path = right
+        else:
+            self._right_path = None
+
+    def serialize_params(self):
+        left = getattr(self, "_left_path", None)
+        if left is None:
+            raise NotImplementedError(
+                "ColumnSimilarity requires set_storage_path before serialization"
+            )
+        return {
+            "left_features": left,
+            "right_features": getattr(self, "_right_path", None),
+            "metric": self.metric,
+            "on_device": self.on_device,
+        }
+
+    @classmethod
+    def deserialize_params(cls, params):
+        out = dict(params)
+        out["left_features"] = _load_csr(params["left_features"])
+        out["right_features"] = (
+            _load_csr(params["right_features"]) if params.get("right_features") else None
+        )
+        return out
+
     @property
     def output_dtype(self):
         return md.float32
@@ -125,3 +163,18 @@ def _rowwise_inner(left, a_ids, right, b_ids) -> np.ndarray:
         if len(common):
             out[i] = np.dot(vals_a[ia], vals_b[ib])
     return out
+
+
+def _save_csr(csr, path: str):
+    indptr, indices, data, ncols = csr
+    np.savez(path, indptr=indptr, indices=indices, data=data, ncols=np.int64(ncols))
+
+
+def _load_csr(path: str):
+    z = np.load(path)
+    return (
+        z["indptr"].astype(np.int64),
+        z["indices"].astype(np.int64),
+        z["data"].astype(np.float64),
+        int(z["ncols"]),
+    )

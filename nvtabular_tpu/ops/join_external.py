@@ -123,7 +123,33 @@ class JoinExternal(Operator):
                 out = out + Schema([cs])
         return out
 
+    def set_storage_path(self, new_path, copy=False):
+        """Persist the external table as a parquet artifact (the serializer
+        calls this before serialize_params — same contract as Categorify's
+        vocab artifacts, reference categorify.py:1855-1881)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(new_path, exist_ok=True)
+        dest = os.path.join(new_path, "join_ext.parquet")
+        pq.write_table(self._load_ext().to_arrow(), dest)
+        self._ext_path = dest
+
     def serialize_params(self):
-        raise NotImplementedError(
-            "JoinExternal serialization requires a file-backed external table"
-        )
+        ext_path = getattr(self, "_ext_path", None)
+        if ext_path is None and isinstance(self._ext_source, str):
+            ext_path = self._ext_source
+        if ext_path is None:
+            raise NotImplementedError(
+                "JoinExternal requires set_storage_path before serialization"
+            )
+        return {
+            "df_ext": ext_path,
+            "on": self.on,
+            "on_ext": self.on_ext,
+            "how": self.how,
+            "columns_ext": self.columns_ext,
+            "drop_duplicates_ext": self.drop_duplicates_ext,
+            "cache": self.cache,
+        }

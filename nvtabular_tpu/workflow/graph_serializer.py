@@ -79,9 +79,14 @@ def _serialize_node(node: Node, nid: int, node_ids: Dict[int, int], path: str) -
             "call nvtabular_tpu.workflow.graph_serializer.register_op"
         )
 
-    # file-backed stats move into the artifact dir (reference
-    # set_storage_path(..., copy=True), categorify.py:1855-1881)
-    if isinstance(op, StatOperator) and getattr(op, "categories", None):
+    # file-backed state moves into the artifact dir (reference
+    # set_storage_path(..., copy=True), categorify.py:1855-1881); any op
+    # defining set_storage_path participates (Categorify vocabs,
+    # JoinExternal table, ColumnSimilarity CSR matrices)
+    set_path = getattr(op, "set_storage_path", None)
+    if callable(set_path) and (
+        not isinstance(op, StatOperator) or getattr(op, "categories", None)
+    ):
         artifact_dir = os.path.join(path, ARTIFACTS_DIR, f"node_{nid}")
         op.set_storage_path(artifact_dir, copy=True)
 
@@ -105,6 +110,7 @@ def _serialize_node(node: Node, nid: int, node_ids: Dict[int, int], path: str) -
         record["params"] = {}
     # make artifact paths relative to the workflow dir for portability
     record["state"] = _relativize_paths(record["state"], path)
+    record["params"] = _relativize_paths(record["params"], path)
     return record
 
 
@@ -136,7 +142,9 @@ def _deserialize_node(record: Dict[str, Any], nodes: Dict[int, Node], path: str)
         sub_out = _deserialize_nodes(record["subgraph"]["nodes"], path)
         op = Subgraph(record["subgraph"]["name"], sub_out)
     else:
-        params = cls.deserialize_params(record.get("params") or {})
+        params = cls.deserialize_params(
+            _derelativize_paths(record.get("params") or {}, path)
+        )
         op = cls(**params)
         state = _derelativize_paths(record.get("state"), path)
         if state is not None and hasattr(op, "deserialize_state"):

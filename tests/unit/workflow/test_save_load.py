@@ -72,3 +72,31 @@ def test_clear_stats(dataset):
     assert node.op.fitted
     wf.clear_stats()
     assert not node.op.fitted
+
+
+def test_join_external_save_load(tmp_path):
+    import pandas as pd
+
+    df = pd.DataFrame({"item": [1, 2, 3, 9], "x": [0.1, 0.2, 0.3, 0.4]})
+    ext = pd.DataFrame({"item": [1, 2, 3], "brand": [10, 20, 30]})
+    wf = nvt.Workflow(["item", "x"] >> ops.JoinExternal(ext, on="item"))
+    wf.fit(nvt.Dataset(df))
+    wf.save(str(tmp_path / "wf"))
+    wf2 = nvt.Workflow.load(str(tmp_path / "wf"))
+    out = wf2.transform(nvt.TableBatch.from_pandas(df)).to_pandas()
+    assert out["brand"].tolist()[:3] == [10.0, 20.0, 30.0]
+
+
+def test_column_similarity_save_load(tmp_path):
+    import pandas as pd
+    from scipy.sparse import csr_matrix
+
+    feats = csr_matrix(np.random.default_rng(0).random((6, 5)))
+    wf = nvt.Workflow([("a", "b")] >> ops.ColumnSimilarity(feats, metric="cosine"))
+    ds = nvt.Dataset(pd.DataFrame({"a": [0, 1, 2], "b": [1, 0, 5]}))
+    wf.fit(ds)
+    a = wf.transform(ds).to_table().to_pandas()
+    wf.save(str(tmp_path / "wf"))
+    wf2 = nvt.Workflow.load(str(tmp_path / "wf"))
+    b = wf2.transform(ds).to_table().to_pandas()
+    np.testing.assert_allclose(a.iloc[:, 0], b.iloc[:, 0])
