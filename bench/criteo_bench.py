@@ -43,7 +43,15 @@ def parse_args():
     p.add_argument("--out-path", default=None)
     p.add_argument("--train-steps", type=int, default=0, help="DLRM training steps after ETL")
     p.add_argument("--batch-size", type=int, default=65536)
-    p.add_argument("--device-transform", action="store_true", default=True)
+    p.add_argument(
+        "--transform-backend",
+        choices=["host", "device"],
+        default="host",
+        help="executor for the transform+write phase. The phase's consumer "
+        "is a host parquet writer, so 'host' avoids a device round trip — "
+        "essential here because the dev tunnel reads back at ~12 MB/s. "
+        "Device-resident consumers (training) always use the device path.",
+    )
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     return p.parse_args()
 
@@ -102,7 +110,12 @@ def main():
         >> ops.LogOp()
         >> ops.Normalize()
     )
-    workflow = nvt.Workflow(cats + conts + ["label"])
+    if args.transform_backend == "host":
+        from nvtabular_tpu.dag.executor import LocalExecutor
+
+        workflow = nvt.Workflow(cats + conts + ["label"], executor=LocalExecutor())
+    else:
+        workflow = nvt.Workflow(cats + conts + ["label"])
 
     # phase 1: fit (vocab build + moments)
     t0 = time.perf_counter()

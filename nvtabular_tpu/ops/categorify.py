@@ -164,6 +164,7 @@ class _Vocab:
         "_lookup_built",
         "_lut_dev",
         "state_key",
+        "_native",
     )
 
     def __init__(self, values_by_code, counts, num_buckets):
@@ -187,6 +188,7 @@ class _Vocab:
         self._lookup = None
         self._lookup_built = False
         self._lut_dev = None
+        self._native = "unset"
         self.state_key = None  # set when the op publishes device_state
 
     @property
@@ -308,6 +310,26 @@ class _Vocab:
             nulls |= jnp.isnan(values)
         codes = jnp.where(nulls, NULL_INDEX, codes)
         return codes + self.offset
+
+    def native_table(self):
+        """C++ hash table for the HOST encode fast path (read-only → safe
+        for thread-parallel encodes); None when unsupported (string keys,
+        multi-bucket OOV, toolchain missing)."""
+        if self.dtype_kind == "O" or self.num_buckets != 1:
+            return None
+        if getattr(self, "_native", "unset") != "unset":
+            return self._native
+        try:
+            from ..serving.native import _ColumnTable
+
+            codes = (np.arange(len(self.values_by_code)) + self.start_index).astype(np.int32)
+            table = _ColumnTable.from_arrays(
+                f"vocab:{id(self)}", np.asarray(self.values_by_code), codes
+            )
+        except Exception:
+            table = None
+        self._native = table
+        return table
 
     def _cached_dev(self, arr):
         """Cache a device constant on the vocab unless we're under a trace."""
@@ -561,6 +583,9 @@ class Categorify(StatOperator):
         # per-column loop would emit 26 separate gather ops and bloat the
         # fused program (slow XLA compile, more dispatch).
         batched = self._encode_batched_device(jobs)
+        # host fast path: thread-parallel C++ hash-map encodes (tables are
+        # read-only; ctypes releases the GIL during the native call)
+        batched.update(self._encode_batched_host_native(jobs, skip=batched))
         for name, vocab, col in jobs:
             if name in batched:
                 codes = batched[name]
@@ -606,6 +631,43 @@ class Categorify(StatOperator):
             out[kind] = (blut, {vkey: i for i, (vkey, _) in enumerate(entries)})
         self._batched_cache = (token, out)
         return out
+
+    def _encode_batched_host_native(self, jobs, skip) -> Dict[str, Any]:
+        """Thread-parallel native (C++) host encodes for numeric host
+        columns. Returns {col_name: codes int32}; empty when the native
+        library is unavailable."""
+        work = []
+        for name, vocab, col in jobs:
+            if name in skip or xnp(col.values) is not np:
+                continue
+            values = np.asarray(col.values)
+            if values.dtype.kind not in ("i", "u"):
+                continue
+            table = vocab.native_table()
+            if table is None:
+                continue
+            validity = np.asarray(col.validity) if col.validity is not None else None
+            if col.is_list:
+                validity = None
+            work.append((name, vocab, table, values, validity))
+        if not work:
+            return {}
+        out_dtype = self._out_dtype_np()
+
+        def encode_one(item):
+            name, vocab, table, values, validity = item
+            codes = table.encode(
+                values, validity,
+                null_index=NULL_INDEX, oov_index=OOV_OFFSET, offset=vocab.offset,
+            )
+            return name, codes.astype(out_dtype, copy=False)
+
+        if len(work) >= 4:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=min(8, len(work))) as pool:
+                return dict(pool.map(encode_one, work))
+        return dict(encode_one(w) for w in work)
 
     def _encode_batched_device(self, jobs) -> Dict[str, Any]:
         """Vectorize same-shape device columns through the column-batched

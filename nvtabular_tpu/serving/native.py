@@ -99,6 +99,31 @@ def native_available() -> bool:
 class _ColumnTable:
     """One column's native hash table (int64 or string keys)."""
 
+    @classmethod
+    def from_arrays(cls, name: str, keys: "np.ndarray", codes: "np.ndarray"):
+        """Build directly from vocab arrays (no parquet artifact) — used by
+        the host transform fast path. `name` keys the cross-instance cache."""
+        lib = _build_and_load()
+        self = cls.__new__(cls)
+        self.lib = lib
+        self.start_index = None
+        self.is_str = False
+        handle = lib.nvt_cat_lookup(name.encode())
+        if handle:
+            self.handle = handle
+            return self
+        keys = np.ascontiguousarray(keys.astype(np.int64))
+        codes = np.ascontiguousarray(codes.astype(np.int32))
+        self.handle = lib.nvt_cat_create_i64(
+            name.encode(),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(keys),
+        )
+        if not self.handle:
+            raise RuntimeError(f"failed to build native table {name}")
+        return self
+
     def __init__(self, path: str, start_index: int):
         import pyarrow.parquet as pq
 
