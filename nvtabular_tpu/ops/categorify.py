@@ -25,11 +25,15 @@ TPU-first implementation differences (the whole point):
   analog of the reference's tree reduction (categorify.py:1344-1540), with
   jax all-to-all sharding available in parallel/sharded_vocab.py for
   pod-scale vocabularies (SURVEY.md §2.8 P3).
-* Transform lookup is dtype-split: string columns use arrow `index_in`
-  (C++ hash probe, host); numeric columns use a SORTED-vocab binary search
-  (jnp.searchsorted) that is pure XLA — jit-fusable with the rest of the
-  graph and identical on host numpy. Codes default to int32 (TPU-friendly;
-  the reference emits int64).
+* Transform lookup is backend-split (same results everywhere; codes
+  default to int32, TPU-friendly where the reference emits int64):
+  - device: column-batched exact lookups — ONE gather over a concatenated
+    dense direct-map for compact key ranges, TWO row-gathers over a packed
+    bucketed-cuckoo table otherwise (ops/lookup.py; jnp.searchsorted is a
+    20x-slower serial gather loop on TPU and is only a last resort);
+  - host numeric: thread-parallel C++ hash-map encodes shared with the
+    serving path (cpp/nvt_serving.cc — read-only tables, GIL released);
+  - host strings: arrow `index_in` (C++ hash probe).
 """
 
 from __future__ import annotations
