@@ -248,3 +248,106 @@ int64_t nvt_cache_size() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming value counter: the fit-time hot loop (vocabulary building).
+// Open-addressing int64 -> count map with growth; one counter per column,
+// single-writer (column-parallel via one thread per counter).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Counter {
+  std::vector<int64_t> keys;
+  std::vector<int64_t> cnts;
+  uint64_t mask = 0;
+  uint64_t used = 0;
+  int64_t sentinel_cnt = 0;  // count of the kEmpty key itself
+
+  explicit Counter(uint64_t cap) { reset(next_pow2(cap < 16 ? 16 : cap)); }
+
+  void reset(uint64_t cap) {
+    keys.assign(cap, kEmpty);
+    cnts.assign(cap, 0);
+    mask = cap - 1;
+    used = 0;
+  }
+
+  void grow() {
+    std::vector<int64_t> old_keys;
+    std::vector<int64_t> old_cnts;
+    old_keys.swap(keys);
+    old_cnts.swap(cnts);
+    reset((mask + 1) * 2);
+    for (size_t i = 0; i < old_keys.size(); ++i) {
+      if (old_keys[i] != kEmpty) add(old_keys[i], old_cnts[i]);
+    }
+  }
+
+  inline void add(int64_t k, int64_t c) {
+    if (k == kEmpty) {
+      sentinel_cnt += c;
+      return;
+    }
+    uint64_t slot = mix64(static_cast<uint64_t>(k)) & mask;
+    while (true) {
+      int64_t kk = keys[slot];
+      if (kk == k) {
+        cnts[slot] += c;
+        return;
+      }
+      if (kk == kEmpty) {
+        keys[slot] = k;
+        cnts[slot] = c;
+        if (++used * 10 > (mask + 1) * 7) grow();
+        return;
+      }
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* nvt_counter_create(int64_t initial_capacity) {
+  return new Counter(static_cast<uint64_t>(
+      initial_capacity > 0 ? initial_capacity : 1024));
+}
+
+void nvt_counter_update(void* h, const int64_t* vals, int64_t n) {
+  Counter& c = *static_cast<Counter*>(h);
+  for (int64_t i = 0; i < n; ++i) c.add(vals[i], 1);
+}
+
+void nvt_counter_add(void* h, const int64_t* keys, const int64_t* counts, int64_t n) {
+  Counter& c = *static_cast<Counter*>(h);
+  for (int64_t i = 0; i < n; ++i) c.add(keys[i], counts[i]);
+}
+
+int64_t nvt_counter_size(void* h) {
+  Counter& c = *static_cast<Counter*>(h);
+  return static_cast<int64_t>(c.used) + (c.sentinel_cnt > 0 ? 1 : 0);
+}
+
+void nvt_counter_extract(void* h, int64_t* keys_out, int64_t* counts_out) {
+  Counter& c = *static_cast<Counter*>(h);
+  int64_t j = 0;
+  if (c.sentinel_cnt > 0) {
+    keys_out[j] = kEmpty;
+    counts_out[j] = c.sentinel_cnt;
+    ++j;
+  }
+  for (size_t i = 0; i <= c.mask; ++i) {
+    if (c.keys[i] != kEmpty) {
+      keys_out[j] = c.keys[i];
+      counts_out[j] = c.cnts[i];
+      ++j;
+    }
+  }
+}
+
+void nvt_counter_free(void* h) { delete static_cast<Counter*>(h); }
+
+}  // extern "C"

@@ -85,17 +85,27 @@ def _emb_sz_rule(n_cat: int, minimum_size=16, maximum_size=512) -> Tuple[int, in
 
 
 class _VocabAccum:
-    """Streaming (value, count) accumulator backed by arrow group_by."""
+    """Streaming (value, count) accumulator.
+
+    Integer keys count through the native C++ open-addressing counter
+    (serving/native.py NativeCounter — the fit hot loop, thread-safe per
+    accumulator); other dtypes fall back to arrow value_counts + group_by.
+    """
 
     def __init__(self):
         self.partials: List = []  # list of pa.Table(value, count)
         self.rows = 0
         self.null_count = 0
+        self._counter = None  # NativeCounter for int keys
+        self._use_native: Optional[bool] = None
+        self._int_dtype: Optional[np.dtype] = None
+
+    @property
+    def native(self) -> bool:
+        """True once this accumulator is committed to the native counter."""
+        return bool(self._use_native)
 
     def update(self, values: np.ndarray, validity: Optional[np.ndarray]):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         if validity is not None:
             self.null_count += int((~validity).sum())
             values = values[validity]
@@ -106,6 +116,22 @@ class _VocabAccum:
                 values = values[~nan]
         if len(values) == 0:
             return
+        if self._use_native is None:
+            self._use_native = values.dtype.kind in ("i", "u") and _native_counter()
+        if self._use_native and values.dtype.kind in ("i", "u"):
+            if self._counter is None:
+                from ..serving.native import NativeCounter
+
+                self._counter = NativeCounter()
+                self._int_dtype = values.dtype
+            self._counter.update(values)
+            self.rows += len(values)
+            return
+        self._update_arrow(values)
+
+    def _update_arrow(self, values: np.ndarray):
+        import pyarrow as pa
+
         arr = _pa_array(values)
         vc = arr.value_counts()  # StructArray<values, counts>
         tbl = pa.table(
@@ -119,6 +145,8 @@ class _VocabAccum:
     def _reaggregate(self):
         import pyarrow as pa
 
+        if not self.partials:
+            return
         merged = pa.concat_tables(self.partials)
         agg = merged.group_by("value").aggregate([("count", "sum")])
         agg = agg.rename_columns(["value", "count"])
@@ -126,6 +154,20 @@ class _VocabAccum:
         self.rows = agg.num_rows
 
     def merge(self, other: "_VocabAccum") -> "_VocabAccum":
+        if other._counter is not None:
+            keys, counts = other._counter.extract()
+            if self._counter is None and not self.partials:
+                from ..serving.native import NativeCounter
+
+                self._counter = NativeCounter()
+                self._int_dtype = other._int_dtype
+                self._use_native = True
+            if self._counter is not None:
+                self._counter.add(keys, counts)
+            else:  # mixed: fold native counts into the arrow side
+                import pyarrow as pa
+
+                self.partials.append(pa.table({"value": keys, "count": counts}))
         self.partials.extend(other.partials)
         self.rows += other.rows
         self.null_count += other.null_count
@@ -136,6 +178,16 @@ class _VocabAccum:
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        if self._counter is not None:
+            keys, counts = self._counter.extract()
+            if self.partials:
+                self.partials.append(pa.table({"value": keys, "count": counts}))
+            else:
+                order = np.lexsort((keys, -counts))
+                values = keys[order]
+                if self._int_dtype is not None and self._int_dtype != np.dtype(np.int64):
+                    values = values.astype(self._int_dtype)
+                return values, counts[order], self.null_count
         if not self.partials:
             return np.array([], dtype=object), np.array([], dtype=np.int64), self.null_count
         self._reaggregate()
@@ -148,6 +200,15 @@ class _VocabAccum:
         values = tbl.column("value").to_numpy(zero_copy_only=False)
         counts = tbl.column("count").to_numpy(zero_copy_only=False)
         return values, counts, self.null_count
+
+
+def _native_counter() -> bool:
+    try:
+        from ..serving.native import native_available
+
+        return native_available()
+    except Exception:
+        return False
 
 
 class _Vocab:
@@ -460,12 +521,35 @@ class Categorify(StatOperator):
                         # (reference _maybe_flatten_list_column, :1828)
                         validity = None
                     jobs.append((accum, vals, validity))
-        # NOTE: columns are counted serially on purpose — concurrent
-        # pyarrow value_counts segfaults in this environment (observed under
-        # a ThreadPoolExecutor with the TPU plugin loaded); arrow already
-        # parallelizes internally per call.
-        for accum, vals, validity in jobs:
-            accum.update(vals, validity)
+        # Column threading: native-counter accumulators (int keys, pure C++,
+        # GIL released) run in a pool, one thread per accumulator. Arrow
+        # accumulators stay serial — concurrent pyarrow value_counts
+        # segfaults in this environment.
+        by_accum: Dict[int, List] = {}
+        for job in jobs:
+            by_accum.setdefault(id(job[0]), []).append(job)
+        pooled, serial = [], []
+        for group in by_accum.values():
+            accum = group[0][0]
+            all_int = all(j[1].dtype.kind in ("i", "u") for j in group)
+            if all_int and accum._use_native is not False and _native_counter():
+                pooled.append(group)
+            else:
+                serial.append(group)
+
+        def run_group(group):
+            for accum, vals, validity in group:
+                accum.update(vals, validity)
+
+        if len(pooled) >= 4:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=min(8, len(pooled))) as pool:
+                list(pool.map(run_group, pooled))
+        else:
+            serial = pooled + serial
+        for group in serial:
+            run_group(group)
         return state
 
     def fit_merge(self, states):

@@ -15,22 +15,32 @@ import pickle
 from typing import Any, List
 
 
-def process_count() -> int:
+def _distributed_initialized() -> bool:
+    """True only when jax.distributed.initialize has run — checked WITHOUT
+    touching jax backends (jax.process_count() would otherwise initialize
+    the TPU client, a ~10 s tunnel connect, during host-only fits)."""
     try:
-        import jax
+        from jax._src import distributed
 
-        return jax.process_count()
+        return distributed.global_state.client is not None
     except Exception:
+        return False
+
+
+def process_count() -> int:
+    if not _distributed_initialized():
         return 1
+    import jax
+
+    return jax.process_count()
 
 
 def process_index() -> int:
-    try:
-        import jax
-
-        return jax.process_index()
-    except Exception:
+    if not _distributed_initialized():
         return 0
+    import jax
+
+    return jax.process_index()
 
 
 def allgather_pyobj(obj: Any) -> List[Any]:

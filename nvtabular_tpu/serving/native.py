@@ -86,6 +86,14 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_fill_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float]
     lib.nvt_fill_f64.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double]
     lib.nvt_cache_size.restype = ctypes.c_int64
+    lib.nvt_counter_create.restype = ctypes.c_void_p
+    lib.nvt_counter_create.argtypes = [ctypes.c_int64]
+    lib.nvt_counter_update.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int64]
+    lib.nvt_counter_add.argtypes = [ctypes.c_void_p, i64p, i64p, ctypes.c_int64]
+    lib.nvt_counter_size.restype = ctypes.c_int64
+    lib.nvt_counter_size.argtypes = [ctypes.c_void_p]
+    lib.nvt_counter_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
 
 
 def native_available() -> bool:
@@ -211,6 +219,62 @@ class _ColumnTable:
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
         return out
+
+
+class NativeCounter:
+    """Streaming int64 value counter (C++ open-addressing map) — the
+    fit-time vocabulary-count hot loop. Single-writer; picklable as its
+    extracted (keys, counts) arrays so multi-host fit_merge works."""
+
+    def __init__(self, initial_capacity: int = 1 << 14):
+        self.lib = _build_and_load()
+        self.handle = self.lib.nvt_counter_create(initial_capacity)
+
+    def update(self, values: np.ndarray) -> None:
+        vals = np.ascontiguousarray(values, dtype=np.int64)
+        self.lib.nvt_counter_update(
+            self.handle, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(vals)
+        )
+
+    def add(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        keys = np.ascontiguousarray(keys, dtype=np.int64)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        self.lib.nvt_counter_add(
+            self.handle,
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(keys),
+        )
+
+    def extract(self):
+        n = self.lib.nvt_counter_size(self.handle)
+        keys = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        if n:
+            self.lib.nvt_counter_extract(
+                self.handle,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        return keys, counts
+
+    def __getstate__(self):
+        keys, counts = self.extract()
+        return {"keys": keys, "counts": counts}
+
+    def __setstate__(self, state):
+        self.lib = _build_and_load()
+        self.handle = self.lib.nvt_counter_create(max(len(state["keys"]) * 2, 1024))
+        if len(state["keys"]):
+            self.add(state["keys"], state["counts"])
+
+    def __del__(self):
+        handle = getattr(self, "handle", None)
+        if handle and getattr(self, "lib", None) is not None:
+            try:
+                self.lib.nvt_counter_free(handle)
+            except Exception:
+                pass
 
 
 class CategorifyTransform:
