@@ -55,6 +55,24 @@ PAD_INDEX = 0
 NULL_INDEX = 1
 OOV_OFFSET = 2
 
+# monotonically unique names for per-vocab native tables (never reuse an id)
+import itertools as _itertools
+
+_VOCAB_TABLE_SEQ = _itertools.count()
+
+# one shared pool for the fit/transform hot loops (per-batch executor
+# creation would churn threads thousands of times over a streaming run)
+_POOL = None
+
+
+def _shared_pool():
+    global _POOL
+    if _POOL is None:
+        import concurrent.futures as cf
+
+        _POOL = cf.ThreadPoolExecutor(max_workers=8, thread_name_prefix="nvt-encode")
+    return _POOL
+
 
 def _pa_array(values: np.ndarray):
     """numpy → arrow array; object arrays sanitize NaN/None to null."""
@@ -124,6 +142,10 @@ class _VocabAccum:
 
                 self._counter = NativeCounter()
                 self._int_dtype = values.dtype
+            else:
+                # joint groups mix member columns of different int widths
+                # through ONE accumulator: promote so finalize can't wrap
+                self._int_dtype = np.promote_types(self._int_dtype, values.dtype)
             self._counter.update(values)
             self.rows += len(values)
             return
@@ -144,9 +166,24 @@ class _VocabAccum:
 
     def _reaggregate(self):
         import pyarrow as pa
+        import pyarrow.types as pat
 
         if not self.partials:
             return
+        # unify value dtypes across partials (int widths can differ when
+        # native-counter int64 keys merge into an int32 arrow side)
+        vtypes = {t.schema.field("value").type for t in self.partials}
+        if len(vtypes) > 1:
+            if all(pat.is_integer(t) for t in vtypes):
+                self.partials = [
+                    t.set_column(0, "value", t.column("value").cast(pa.int64()))
+                    for t in self.partials
+                ]
+            else:  # heterogenous non-int (shouldn't happen): string-normalize
+                self.partials = [
+                    t.set_column(0, "value", t.column("value").cast(pa.string()))
+                    for t in self.partials
+                ]
         merged = pa.concat_tables(self.partials)
         agg = merged.group_by("value").aggregate([("count", "sum")])
         agg = agg.rename_columns(["value", "count"])
@@ -162,6 +199,8 @@ class _VocabAccum:
                 self._counter = NativeCounter()
                 self._int_dtype = other._int_dtype
                 self._use_native = True
+            elif self._int_dtype is not None and other._int_dtype is not None:
+                self._int_dtype = np.promote_types(self._int_dtype, other._int_dtype)
             if self._counter is not None:
                 self._counter.add(keys, counts)
             else:  # mixed: fold native counts into the arrow side
@@ -181,12 +220,24 @@ class _VocabAccum:
         if self._counter is not None:
             keys, counts = self._counter.extract()
             if self.partials:
+                # normalize arrow partials to int64 so schemas unify with the
+                # native counter's keys (mixed native/arrow arises in
+                # multi-host merges when one host lacks the native library)
+                self.partials = [
+                    t.set_column(0, "value", t.column("value").cast(pa.int64()))
+                    for t in self.partials
+                ]
                 self.partials.append(pa.table({"value": keys, "count": counts}))
             else:
                 order = np.lexsort((keys, -counts))
                 values = keys[order]
                 if self._int_dtype is not None and self._int_dtype != np.dtype(np.int64):
-                    values = values.astype(self._int_dtype)
+                    info = np.iinfo(self._int_dtype)
+                    if len(values) == 0 or (
+                        values.min() >= info.min and values.max() <= info.max
+                    ):
+                        values = values.astype(self._int_dtype)
+                    # else: keys exceed the narrow dtype — stay int64
                 return values, counts[order], self.null_count
         if not self.partials:
             return np.array([], dtype=object), np.array([], dtype=np.int64), self.null_count
@@ -380,16 +431,23 @@ class _Vocab:
         """C++ hash table for the HOST encode fast path (read-only → safe
         for thread-parallel encodes); None when unsupported (string keys,
         multi-bucket OOV, toolchain missing)."""
-        if self.dtype_kind == "O" or self.num_buckets != 1:
+        values = np.asarray(self.values_by_code) if len(self.values_by_code) else None
+        if (
+            self.num_buckets != 1
+            or values is None
+            or values.dtype.kind not in ("i", "u")  # float keys would truncate
+        ):
             return None
         if getattr(self, "_native", "unset") != "unset":
             return self._native
         try:
             from ..serving.native import _ColumnTable
 
-            codes = (np.arange(len(self.values_by_code)) + self.start_index).astype(np.int32)
+            codes = (np.arange(len(values)) + self.start_index).astype(np.int32)
+            # collision-proof per-process name (id(self) could be recycled
+            # across refits while a stale table still lives in the cache)
             table = _ColumnTable.from_arrays(
-                f"vocab:{id(self)}", np.asarray(self.values_by_code), codes
+                f"vocab:{os.getpid()}:{next(_VOCAB_TABLE_SEQ)}", values, codes
             )
         except Exception:
             table = None
@@ -542,10 +600,7 @@ class Categorify(StatOperator):
                 accum.update(vals, validity)
 
         if len(pooled) >= 4:
-            import concurrent.futures as cf
-
-            with cf.ThreadPoolExecutor(max_workers=min(8, len(pooled))) as pool:
-                list(pool.map(run_group, pooled))
+            list(_shared_pool().map(run_group, pooled))
         else:
             serial = pooled + serial
         for group in serial:
@@ -751,10 +806,7 @@ class Categorify(StatOperator):
             return name, codes.astype(out_dtype, copy=False)
 
         if len(work) >= 4:
-            import concurrent.futures as cf
-
-            with cf.ThreadPoolExecutor(max_workers=min(8, len(work))) as pool:
-                return dict(pool.map(encode_one, work))
+            return dict(_shared_pool().map(encode_one, work))
         return dict(encode_one(w) for w in work)
 
     def _encode_batched_device(self, jobs) -> Dict[str, Any]:

@@ -15,20 +15,29 @@ import pickle
 from typing import Any, List
 
 
-def _distributed_initialized() -> bool:
-    """True only when jax.distributed.initialize has run — checked WITHOUT
-    touching jax backends (jax.process_count() would otherwise initialize
-    the TPU client, a ~10 s tunnel connect, during host-only fits)."""
+def _jax_runtime_engaged() -> bool:
+    """True when asking jax for process topology will NOT trigger a fresh
+    backend initialization (a ~10 s tunnel/client connect that host-only
+    fits must not pay): either jax.distributed.initialize has run, or some
+    backend is already up (e.g. a Mesh was built, arrays were placed —
+    the normal state on a multi-process TPU pod by fit time)."""
     try:
         from jax._src import distributed
 
-        return distributed.global_state.client is not None
+        if distributed.global_state.client is not None:
+            return True
+    except Exception:
+        pass
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
     except Exception:
         return False
 
 
 def process_count() -> int:
-    if not _distributed_initialized():
+    if not _jax_runtime_engaged():
         return 1
     import jax
 
@@ -36,7 +45,7 @@ def process_count() -> int:
 
 
 def process_index() -> int:
-    if not _distributed_initialized():
+    if not _jax_runtime_engaged():
         return 0
     import jax
 

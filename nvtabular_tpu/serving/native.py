@@ -247,6 +247,9 @@ class NativeCounter:
         )
 
     def extract(self):
+        stash = getattr(self, "_stash", None)
+        if stash is not None:
+            return stash
         n = self.lib.nvt_counter_size(self.handle)
         keys = np.empty(n, dtype=np.int64)
         counts = np.empty(n, dtype=np.int64)
@@ -263,7 +266,16 @@ class NativeCounter:
         return {"keys": keys, "counts": counts}
 
     def __setstate__(self, state):
-        self.lib = _build_and_load()
+        # a host WITHOUT the native toolchain must still be able to receive
+        # a pickled counter from a peer during multi-host fit_merge — fall
+        # back to carrying the arrays (extract() serves them to the merge)
+        try:
+            self.lib = _build_and_load()
+        except RuntimeError:
+            self.lib = None
+            self.handle = None
+            self._stash = (np.asarray(state["keys"]), np.asarray(state["counts"]))
+            return
         self.handle = self.lib.nvt_counter_create(max(len(state["keys"]) * 2, 1024))
         if len(state["keys"]):
             self.add(state["keys"], state["counts"])

@@ -30,10 +30,10 @@ def device_mem_size(kind: str = "total", cpu: bool = False) -> int:
         import jax
 
         stats = jax.devices()[0].memory_stats() or {}
+        total = stats.get("bytes_limit", 0) or 16 * 1024**3  # nominal v5e HBM
         if kind == "free":
-            total = stats.get("bytes_limit", 0)
             return total - stats.get("bytes_in_use", 0)
-        return stats.get("bytes_limit", 0) or 16 * 1024**3
+        return total
     except Exception:
         return 16 * 1024**3  # nominal v5e HBM
 

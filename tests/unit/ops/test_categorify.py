@@ -140,3 +140,45 @@ def test_dict_options_per_column(tmp_path):
     wf, out = _fit_transform(df, node)
     assert (out["a"][df["a"] == "y"] == OOV_OFFSET).all()  # below a's threshold
     assert (out["b"][df["b"] == "q"] == 4).all()  # kept for b
+
+
+def test_joint_group_mixed_int_widths():
+    """Joint encoding over int32+int64 members shares one accumulator; wide
+    keys must survive (no wrapping cast) — regression for the native-counter
+    dtype promotion."""
+    import pandas as pd
+
+    big = np.int64(1 << 40)
+    df = pd.DataFrame(
+        {
+            "a": np.array([1, 2, 1, 3], dtype=np.int32),
+            "b": np.array([big, big, 5, 5], dtype=np.int64),
+        }
+    )
+    op = ops.Categorify(encode_type="joint")
+    wf = nvt.Workflow([("a", "b")] >> op)
+    wf.fit(nvt.Dataset(df))
+    vocab = op.vocabs["a_b"]
+    assert big in np.asarray(vocab.values_by_code)
+    assert np.asarray(vocab.values_by_code).min() >= 0  # nothing wrapped negative
+
+
+def test_native_arrow_merge_mixed(monkeypatch):
+    """fit_merge between a native-counter state and an arrow state (the
+    multi-host scenario where one host lacks the toolchain)."""
+    import nvtabular_tpu.ops.categorify as C
+
+    vals = np.array([7, 7, 8], dtype=np.int32)
+    native_acc = C._VocabAccum()
+    native_acc.update(vals, None)
+    assert native_acc.native
+
+    monkeypatch.setattr(C, "_native_counter", lambda: False)
+    arrow_acc = C._VocabAccum()
+    arrow_acc.update(np.array([7, 9, 9, 9], dtype=np.int32), None)
+    assert not arrow_acc.native
+
+    merged = arrow_acc.merge(native_acc)
+    values, counts, _ = merged.finalize()
+    got = dict(zip(np.asarray(values).tolist(), np.asarray(counts).tolist()))
+    assert got == {7: 3, 9: 3, 8: 1}
