@@ -24,7 +24,9 @@ from .shuffle import Shuffle
 
 
 class ParquetWriter:
-    """Append-mode writer over a fixed set of output files."""
+    """Append-mode writer over a fixed set of output files. Appends to
+    DISTINCT files run on a thread pool (arrow's parquet encode releases
+    the GIL), so a split across N files encodes N-way parallel."""
 
     def __init__(self, output_path: str, num_files: int = 1, row_group_size: Optional[int] = None):
         os.makedirs(output_path, exist_ok=True)
@@ -36,35 +38,54 @@ class ParquetWriter:
             os.path.join(output_path, f"part_{i}.parquet") for i in range(self.num_files)
         ]
         self._next = 0
+        self._pool = None
 
     def append(self, batch: TableBatch, file_idx: Optional[int] = None):
-        import pyarrow.parquet as pq
-
         if batch.num_rows == 0:
             return
         idx = self._next if file_idx is None else file_idx % self.num_files
         if file_idx is None:
             self._next = (self._next + 1) % self.num_files
-        table = batch.to_arrow()
+        self._write(idx, batch.to_arrow())
+
+    def _write(self, idx: int, table):
+        import pyarrow.parquet as pq
+
         if self._writers[idx] is None:
             self._writers[idx] = pq.ParquetWriter(self._paths[idx], table.schema)
         self._writers[idx].write_table(table, row_group_size=self.row_group_size)
 
     def append_split(self, batch: TableBatch):
-        """Split one batch evenly across all output files."""
+        """Split one batch evenly across all output files (parallel encode)."""
         n = batch.num_rows
         if n == 0:
             return
         per = max(1, n // self.num_files)
+        pieces = []
         start = 0
         for i in range(self.num_files):
             length = per if i < self.num_files - 1 else n - start
             if length <= 0:
                 break
-            self.append(batch.slice(start, length), file_idx=i)
+            pieces.append((i, batch.slice(start, length)))
             start += length
+        if len(pieces) > 1:
+            if self._pool is None:
+                import concurrent.futures as cf
+
+                self._pool = cf.ThreadPoolExecutor(
+                    max_workers=min(8, self.num_files), thread_name_prefix="nvt-write"
+                )
+            # one in-flight append per file → per-file writers never race
+            list(self._pool.map(lambda p: self._write(p[0], p[1].to_arrow()), pieces))
+        else:
+            for i, piece in pieces:
+                self._write(i, piece.to_arrow())
 
     def close(self) -> List[str]:
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         for w in self._writers:
             if w is not None:
                 w.close()
