@@ -236,7 +236,12 @@ class TargetEncoding(StatOperator):
                     s_oof, c_oof = s_all - s_f, c_all - c_f
                 else:
                     s_oof, c_oof = s_all, c_all
-                te = (s_oof + self.p_smooth * mean) / (c_oof + self.p_smooth)
+                denom = c_oof + self.p_smooth
+                # no OOF observations and no smoothing → fall back to the
+                # global target mean instead of 0/0
+                te = np.where(
+                    denom > 0, (s_oof + self.p_smooth * mean) / np.maximum(denom, 1e-12), mean
+                )
                 out[self._te_name(gi, group, ti, t)] = Column(te.astype(dtype))
         if folds is not None and not self.drop_folds:
             out[self.fold_name] = Column(folds.astype(np.int32))
