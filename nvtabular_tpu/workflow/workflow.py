@@ -111,7 +111,15 @@ class Workflow:
 
     # --- graph edits ------------------------------------------------------
     def remove_inputs(self, input_cols: List[str]) -> "Workflow":
+        """Drop input columns from the graph's selectors (reference
+        workflow.py:172-193) and re-propagate schemas so node output
+        schemas no longer promise the removed columns."""
         self.graph.remove_inputs(input_cols)
+        if self.graph.input_schema is not None:
+            root = Schema(
+                [cs for cs in self.graph.input_schema if cs.name not in set(input_cols)]
+            )
+            self.graph.construct_schema(root)
         return self
 
     def get_subworkflow(self, name: str) -> "Workflow":

@@ -122,3 +122,41 @@ def test_groupby_sessionization(df):
     np.testing.assert_allclose(
         np.asarray(row["x_list"]), sub["x"].to_numpy(), rtol=1e-6, equal_nan=True
     )
+
+
+def test_tag_based_selector():
+    import pandas as pd
+
+    from nvtabular_tpu.loader import augment_schema
+    from nvtabular_tpu.tags import Tags
+
+    df2 = pd.DataFrame({"a": [1, 2, 3], "b": [1.0, 2.0, 3.0], "c": [4, 5, 6]})
+    ds = nvt.Dataset(df2)
+    ds.schema = augment_schema(ds.schema, cats=["a", "c"], conts=["b"])
+    node = nvt.ColumnSelector(tags=[Tags.CATEGORICAL]) >> ops.Categorify()
+    wf = nvt.Workflow(node)
+    wf.fit(ds)
+    assert wf.output_schema.column_names == ["a", "c"]
+
+
+def test_fit_schema_without_data():
+    import pandas as pd
+
+    df2 = pd.DataFrame({"a": [1], "b": [2.0]})
+    schema = nvt.Dataset(df2).schema
+    wf = nvt.Workflow(["a", "b"] >> ops.Rename(postfix="_r"))
+    wf.fit_schema(schema)
+    assert wf.output_schema.column_names == ["a_r", "b_r"]
+
+
+def test_remove_inputs_reschematizes():
+    import pandas as pd
+
+    df2 = pd.DataFrame({"a": [1, 2, 3], "b": [1.0, 2.0, 3.0], "c": [4, 5, 6]})
+    ds = nvt.Dataset(df2)
+    wf = nvt.Workflow((["a", "c"] >> ops.Categorify()) + ["b"])
+    wf.fit(ds)
+    wf.remove_inputs(["c"])
+    out = wf.transform(nvt.TableBatch.from_pandas(df2[["a", "b"]]))
+    assert out.column_names == ["a", "b"]
+    assert "c" not in wf.output_schema.column_names
