@@ -117,13 +117,18 @@ class JitExecutor(LocalExecutor):
         return state
 
     def transform_batch(self, batch: TableBatch, output_node: Node, capture_dtypes=False) -> TableBatch:
-        if (
-            capture_dtypes
-            or batch.num_rows < self.jit_min_rows
-            or not self.graph_is_jittable(output_node, batch)
-        ):
+        if capture_dtypes or batch.num_rows < self.jit_min_rows:
             return super().transform_batch(batch, output_node, capture_dtypes)
-        return self._jit_transform(batch, output_node)
+        if self.graph_is_jittable(output_node, batch):
+            return self._jit_transform(batch, output_node)
+        # HYBRID: fuse the jittable PREFIX of the DAG (every node whose
+        # whole upstream is jit-safe) into one device program, then run the
+        # remaining host-only ops eagerly with the fused results memoized.
+        frontier = self._jittable_frontier(output_node, batch)
+        if frontier:
+            memo = self._jit_frontier(batch, frontier)
+            return self._eval(output_node, batch, memo)
+        return super().transform_batch(batch, output_node, capture_dtypes)
 
     def graph_is_jittable(self, output_node: Node, batch: TableBatch) -> bool:
         for node in postorder_iter_nodes(output_node):
@@ -134,6 +139,98 @@ class JitExecutor(LocalExecutor):
             if col.values.dtype.kind in ("O", "U", "S", "M"):
                 return False
         return True
+
+    def _jittable_frontier(self, output_node: Node, batch: TableBatch) -> List[Node]:
+        """Maximal nodes whose ENTIRE upstream closure is jit-safe and whose
+        root inputs are numeric — the device islands of a mixed graph."""
+        prefix_ok: Dict[int, bool] = {}
+        for node in postorder_iter_nodes(output_node):  # topo order
+            ok = _node_jit_safe(node.op, node.selector, node.input_schema)
+            if ok and not node.parents_with_dependencies:
+                # leaf: its selected root columns must be device-able
+                for name in node.selector.names if node.selector else []:
+                    col = batch.columns.get(name)
+                    if col is None or col.values.dtype.kind in ("O", "U", "S", "M"):
+                        ok = False
+                        break
+            ok = ok and all(
+                prefix_ok.get(id(p), False) for p in node.parents_with_dependencies
+            )
+            prefix_ok[id(node)] = ok
+        # frontier = jittable nodes with at least one non-jittable consumer
+        # (or the output itself); keep only those worth compiling (non-leaf)
+        consumers: Dict[int, List[Node]] = {}
+        for node in postorder_iter_nodes(output_node):
+            for p in node.parents_with_dependencies:
+                consumers.setdefault(id(p), []).append(node)
+        frontier = []
+        for node in postorder_iter_nodes(output_node):
+            if not prefix_ok.get(id(node)):
+                continue
+            cons = consumers.get(id(node), [])
+            is_frontier = (not cons) or any(not prefix_ok.get(id(c)) for c in cons)
+            if is_frontier and node.parents_with_dependencies:
+                frontier.append(node)
+        return frontier
+
+    def _jit_frontier(self, batch: TableBatch, frontier: List[Node]) -> Dict[int, TableBatch]:
+        """Compile+run ONE fused program producing every frontier node's
+        output; returns a host-side memo for the eager remainder."""
+        import jax
+
+        # columns consumed by the frontier closure
+        needed = set()
+        for node in frontier:
+            for up in _upstream_closure(node):
+                if not up.parents_with_dependencies and up.selector is not None:
+                    needed.update(up.selector.names)
+        sub = batch.select([c for c in batch.column_names if c in needed])
+        layout, stacked, n_rows, row_offset, meta = self._prepare(sub, None)
+        device_arrays = jax.device_put(stacked)
+        state: Dict[str, Any] = {}
+        for node in frontier:
+            for up in _upstream_closure(node):
+                state.update(up.op.device_state())
+        keys = tuple(sorted(id(n) for n in frontier))
+        signature = (
+            ("frontier",) + keys,
+            layout,
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in stacked.items())),
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in state.items())),
+        )
+        fn = self._jit_cache.get(signature)
+        if fn is None:
+            frontier_nodes = list(frontier)
+
+            def run(stacked_dict, state_dict):
+                array_dict = _unstack_arrays(stacked_dict, layout)
+                b = TableBatch.from_dict_of_arrays(array_dict)
+                b.row_offset = row_offset
+                with device_state_scope(state_dict):
+                    inner_memo: Dict[int, TableBatch] = {}
+                    ex = LocalExecutor()
+                    outs = {}
+                    for i, node in enumerate(frontier_nodes):
+                        out = ex._eval(node, b, inner_memo)
+                        outs[str(i)] = out.to_dict_of_arrays()
+                    return outs
+
+            fn = jax.jit(run)
+            self._jit_cache[signature] = fn
+        state_token = (keys, tuple(sorted((k, id(v)) for k, v in state.items())))
+        dev_state = self._device_state_cache.get(state_token)
+        if dev_state is None:
+            dev_state = jax.device_put(state)
+            self._device_state_cache = {state_token: dev_state}
+        outs = fn(device_arrays, dev_state)
+        memo: Dict[int, TableBatch] = {}
+        for i, node in enumerate(frontier):
+            out = TableBatch.from_dict_of_arrays(outs[str(i)])
+            out.row_offset = batch.row_offset
+            if meta is not None and out.num_rows != n_rows:
+                out = _unpad_batch(out, n_rows)
+            memo[id(node)] = out.to_host()  # downstream ops are host ops
+        return memo
 
     def _jit_transform(self, batch: TableBatch, output_node: Node) -> TableBatch:
         prepared = self._prepare(batch, output_node)
@@ -156,11 +253,11 @@ class JitExecutor(LocalExecutor):
                     batch.num_rows < self.jit_min_rows
                     or not self.graph_is_jittable(output_node, batch)
                 ):
-                    # drain pipeline, run fallback path in order
+                    # drain pipeline, run fallback (hybrid or host) in order
                     if fut is not None:
                         yield self._dispatch(fut.result(), output_node)
                         fut = None
-                    yield super().transform_batch(batch, output_node)
+                    yield self.transform_batch(batch, output_node)
                     continue
                 nxt = pool.submit(self._prepare, batch, output_node)
                 if fut is not None:
