@@ -244,3 +244,30 @@ class KeyedStats:
         }
         combined = combine_keys([key_arrays[k] for k in key_cols])
         return cls(key_cols, stats, combined, key_arrays)
+
+    def lookup_struct(self):
+        """Device lookup (single integer key → stats row index), or None.
+        Reuses the Categorify gather machinery (ops/lookup.py): codes are
+        row indices into the stat arrays; misses map to the pad slot."""
+        if getattr(self, "_lut_built", False):
+            return self._lut
+        self._lut = None
+        if len(self.key_cols) == 1:
+            keys = np.asarray(self.key_arrays[self.key_cols[0]])
+            if keys.dtype.kind in ("i", "u") and len(keys):
+                from .lookup import build_lookup
+
+                self._lut = build_lookup(keys, np.arange(len(keys), dtype=np.int32))
+        self._lut_built = True
+        return self._lut
+
+    def padded_stat(self, stat: str, default) -> np.ndarray:
+        """Stat array with a miss slot appended at index num_groups."""
+        cache = getattr(self, "_padded", None)
+        if cache is None:
+            cache = self._padded = {}
+        key = (stat, float(default) if default == default else "nan")
+        if key not in cache:
+            arr = np.asarray(self.stats[stat], dtype=np.float64)
+            cache[key] = np.append(arr, np.float64(default))
+        return cache[key]

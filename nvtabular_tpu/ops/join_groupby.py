@@ -177,12 +177,57 @@ class JoinGroupby(StatOperator):
         self.categories = new_cats
 
     # --- transform ---------------------------------------------------------
+    def is_jit_safe(self, col_selector, input_schema):
+        """Device path: single-int-key groups whose fitted stats admit a
+        gather lookup (see KeyedStats.lookup_struct)."""
+        if not self.fitted or input_schema is None:
+            return False
+        for cs in input_schema:
+            if cs.dtype.is_string or not cs.dtype.is_numeric:
+                return False
+        for group in self._groups(col_selector):
+            keyed = self.keyed.get(self._group_name(group))
+            if keyed is None or keyed.lookup_struct() is None:
+                return False
+        return True
+
+    def device_state(self):
+        state = {}
+        for name, keyed in self.keyed.items():
+            lut = keyed.lookup_struct()
+            if lut is None:
+                continue
+            state[f"joingroupby:{id(self)}:{name}:lut"] = (
+                lut.table if hasattr(lut, "table") else lut.packed
+            )
+            for stat in self.stats:
+                if stat == "count":
+                    state[f"joingroupby:{id(self)}:{name}:__rows"] = keyed.padded_stat(
+                        "__rows", 0.0
+                    )
+                else:
+                    for cont in self.cont_names:
+                        key = f"{cont}.{stat}"
+                        state[f"joingroupby:{id(self)}:{name}:{key}"] = keyed.padded_stat(
+                            key, np.nan
+                        )
+        return state
+
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
-        host = batch.to_host()
+        from ..table import xnp
+
         out = TableBatch()
+        host = None
         for group in self._groups(col_selector):
             name = self._group_name(group)
             keyed = self.keyed[name]
+            lut = keyed.lookup_struct() if len(group) == 1 else None
+            col = batch[group[0]] if len(group) == 1 else None
+            if lut is not None and col is not None and xnp(col.values) is not np:
+                self._transform_device(out, name, keyed, lut, col)
+                continue
+            if host is None:
+                host = batch.to_host()
             key_arrays = [np.asarray(host[k].values) for k in group]
             idx, found = keyed.row_indices(key_arrays)
             for stat in self.stats:
@@ -195,6 +240,37 @@ class JoinGroupby(StatOperator):
                         dtype = AGG_DTYPES.get(stat, np.float32)
                         out[f"{name}_{cont}_{stat}"] = Column(vals.astype(dtype))
         return out
+
+    def _transform_device(self, out: TableBatch, name: str, keyed, lut, col):
+        """Gather-based broadcast join: key → stats-row index (1-2 gathers)
+        then one float gather per stat column."""
+        import jax.numpy as jnp
+
+        from ..dag.device_state import get_device_state
+
+        miss = jnp.int32(keyed.num_groups)  # pad slot of padded_stat
+        table_dev = get_device_state(f"joingroupby:{id(self)}:{name}:lut")
+        if table_dev is None:
+            table_dev = jnp.asarray(lut.table if hasattr(lut, "table") else lut.packed)
+        idx = lut.encode_dev(table_dev, col.values, miss)
+        if col.validity is not None:
+            idx = jnp.where(col.validity, idx, miss)
+
+        def stat_array(key, default):
+            arr = get_device_state(f"joingroupby:{id(self)}:{name}:{key}")
+            if arr is None:
+                arr = jnp.asarray(keyed.padded_stat(key, default))
+            return arr
+
+        for stat in self.stats:
+            if stat == "count":
+                vals = jnp.take(stat_array("__rows", 0.0), idx)
+                out[f"{name}_count"] = Column(vals.astype(jnp.dtype(AGG_DTYPES["count"])))
+            else:
+                dtype = AGG_DTYPES.get(stat, np.float32)
+                for cont in self.cont_names:
+                    vals = jnp.take(stat_array(f"{cont}.{stat}", np.nan), idx)
+                    out[f"{name}_{cont}_{stat}"] = Column(vals.astype(jnp.dtype(dtype)))
 
     def _compute_dtype(self, col_schema, input_schema):
         for agg, dtype in AGG_DTYPES.items():

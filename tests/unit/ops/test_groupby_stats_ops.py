@@ -97,3 +97,38 @@ def test_target_encoding_transform_new_keys(gdf, tmp_path):
     new = pd.DataFrame({"cat": ["UNSEEN"], "target": [0.0]})
     out = wf.transform(nvt.Dataset(new)).to_table().to_pandas()
     np.testing.assert_allclose(out["TE_cat_target"][0], gdf["target"].mean(), rtol=1e-5)
+
+
+def test_join_groupby_device_matches_host(tmp_path):
+    """Device gather path (single-int-key groups) must equal the host
+    arrow-join path, including unseen keys (pad slot) and cuckoo wide keys."""
+    from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "cat": rng.integers(0, 50, n).astype(np.int64),
+            "wide": rng.choice(rng.integers(0, 1 << 30, 300), n).astype(np.int64),
+            "price": rng.normal(10, 3, n).astype(np.float32),
+        }
+    )
+    ds = nvt.Dataset(df, part_size=64 * 1024)
+
+    def build():
+        return ["cat", "wide"] >> ops.JoinGroupby(
+            cont_cols=["price"], stats=["mean", "std", "count"], out_path=str(tmp_path)
+        )
+
+    ex = JitExecutor(jit_min_rows=0)
+    out_dev = nvt.Workflow(build(), executor=ex).fit_transform(ds).to_table().to_pandas()
+    assert len(ex._jit_cache) >= 1  # transform actually compiled
+
+    wf2 = nvt.Workflow(build(), executor=LocalExecutor())
+    wf2.fit(ds)
+    out_host = wf2.transform(ds).to_table().to_pandas()
+    for c in out_dev.columns:
+        if out_dev[c].dtype.kind == "f":
+            np.testing.assert_allclose(out_dev[c], out_host[c], rtol=1e-4, err_msg=c)
+        else:
+            np.testing.assert_array_equal(out_dev[c], out_host[c], err_msg=c)
