@@ -211,7 +211,95 @@ class TargetEncoding(StatOperator):
         self.categories = new_cats
 
     # --- transform -----------------------------------------------------------
+    def is_jit_safe(self, col_selector, input_schema):
+        """Device path: only the fold-free encoding (kfold<=1 — serving /
+        new-data transform). K-fold OOF transforms stay host (fold ids come
+        from the host row-offset RNG)."""
+        if not self.fitted or self.kfold > 1 or input_schema is None:
+            return False
+        for cs in input_schema:
+            if cs.dtype.is_string or not cs.dtype.is_numeric:
+                return False
+        for group in self._groups(col_selector):
+            keyed = self.overall_stats.get(self._group_tag(group))
+            if len(group) != 1 or keyed is None or keyed.lookup_struct() is None:
+                return False
+        return True
+
+    def device_state(self):
+        if self.kfold > 1:
+            return {}
+        state = {}
+        for tag, keyed in self.overall_stats.items():
+            lut = keyed.lookup_struct()
+            if lut is None:
+                continue
+            state[f"te:{id(self)}:{tag}:lut"] = (
+                lut.table if hasattr(lut, "table") else lut.packed
+            )
+            for t in self.target:
+                state[f"te:{id(self)}:{tag}:{t}.sum"] = keyed.padded_stat(f"{t}.sum", 0.0)
+                state[f"te:{id(self)}:{tag}:{t}.count"] = keyed.padded_stat(f"{t}.count", 0.0)
+        return state
+
+    def _transform_device(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
+        import jax.numpy as jnp
+
+        from ..dag.device_state import get_device_state
+
+        out = TableBatch()
+        dtype = md.to_numpy(self.out_dtype) if self.out_dtype else np.float32
+        for gi, group in enumerate(self._groups(col_selector)):
+            tag = self._group_tag(group)
+            keyed = self.overall_stats[tag]
+            lut = keyed.lookup_struct()
+            col = batch[group[0]]
+            miss = jnp.int32(keyed.num_groups)
+            table_dev = get_device_state(f"te:{id(self)}:{tag}:lut")
+            if table_dev is None:
+                table_dev = jnp.asarray(lut.table if hasattr(lut, "table") else lut.packed)
+            idx = lut.encode_dev(table_dev, col.values, miss)
+            if col.validity is not None:
+                idx = jnp.where(col.validity, idx, miss)
+            for ti, t in enumerate(self.target):
+                mean = jnp.float32(self.means.get(t, 0.0))
+                s_arr = get_device_state(f"te:{id(self)}:{tag}:{t}.sum")
+                c_arr = get_device_state(f"te:{id(self)}:{tag}:{t}.count")
+                if s_arr is None:
+                    s_arr = jnp.asarray(keyed.padded_stat(f"{t}.sum", 0.0))
+                if c_arr is None:
+                    c_arr = jnp.asarray(keyed.padded_stat(f"{t}.count", 0.0))
+                s = jnp.take(s_arr, idx)
+                c = jnp.take(c_arr, idx)
+                denom = c + self.p_smooth
+                te = jnp.where(
+                    denom > 0,
+                    (s + self.p_smooth * mean) / jnp.maximum(denom, 1e-12),
+                    mean,
+                )
+                out[self._te_name(gi, group, ti, t)] = Column(
+                    te.astype(jnp.dtype(dtype))
+                )
+        return out
+
+    def _device_eligible(self, col_selector, batch: TableBatch) -> bool:
+        from ..table import xnp
+
+        if self.kfold > 1 or not self.fitted:
+            return False
+        for group in self._groups(col_selector):
+            if len(group) != 1:
+                return False
+            keyed = self.overall_stats.get(self._group_tag(group))
+            if keyed is None or keyed.lookup_struct() is None:
+                return False
+            if xnp(batch[group[0]].values) is np:
+                return False
+        return True
+
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
+        if self._device_eligible(col_selector, batch):
+            return self._transform_device(col_selector, batch)
         host = batch.to_host()
         n = host.num_rows
         out = TableBatch()

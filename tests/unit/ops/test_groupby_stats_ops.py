@@ -132,3 +132,37 @@ def test_join_groupby_device_matches_host(tmp_path):
             np.testing.assert_allclose(out_dev[c], out_host[c], rtol=1e-4, err_msg=c)
         else:
             np.testing.assert_array_equal(out_dev[c], out_host[c], err_msg=c)
+
+
+def test_target_encoding_device_matches_host_foldfree(tmp_path):
+    """kfold<=1 TE (serving/new-data path) runs fused on device; parity
+    with the host arrow-join path. kfold>1 stays host (fold RNG)."""
+    from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "cat": rng.integers(0, 60, n).astype(np.int64),
+            "y": rng.integers(0, 2, n).astype(np.int64),
+        }
+    )
+    ds = nvt.Dataset(df, part_size=64 * 1024)
+
+    def build(k):
+        return ["cat"] >> ops.TargetEncoding(["y"], kfold=k, p_smooth=10, out_path=str(tmp_path))
+
+    ex = JitExecutor(jit_min_rows=0)
+    out_dev = nvt.Workflow(build(1) + ["y"], executor=ex).fit_transform(ds).to_table().to_pandas()
+    assert len(ex._jit_cache) >= 1
+    wf2 = nvt.Workflow(build(1) + ["y"], executor=LocalExecutor())
+    wf2.fit(ds)
+    out_host = wf2.transform(ds).to_table().to_pandas()
+    np.testing.assert_allclose(out_dev["TE_cat_y"], out_host["TE_cat_y"], rtol=1e-5)
+
+    # kfold>1 must NOT take the device path (fold ids are host RNG)
+    ex2 = JitExecutor(jit_min_rows=0)
+    te_op = ops.TargetEncoding(["y"], kfold=3, out_path=str(tmp_path))
+    wf3 = nvt.Workflow((["cat"] >> te_op) + ["y"], executor=ex2)
+    out_k = wf3.fit_transform(ds).to_table().to_pandas()
+    assert np.isfinite(out_k[[c for c in out_k.columns if c.startswith("TE_")][0]]).all()
