@@ -350,4 +350,79 @@ void nvt_counter_extract(void* h, int64_t* keys_out, int64_t* counts_out) {
 
 void nvt_counter_free(void* h) { delete static_cast<Counter*>(h); }
 
+// ---------------------------------------------------------------------------
+// Bucketed-cuckoo build for the device lookup tables (ops/lookup.py):
+// 4-slot buckets, two hash choices, random-walk eviction. The hash MUST
+// match lookup.py's _mix32 (murmur3 finalizer over uint32, seeds 0 and
+// 0x9E3779B9) — the device kernel probes with the same function.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint32_t mix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+constexpr uint32_t kCuckooSeed2 = 0x9E3779B9u;
+constexpr int kSlots = 4;
+
+}  // namespace
+
+// packed: int32 [nb, 8] = [k0..k3, v0..v3]; caller allocates. Returns 1 on
+// success, 0 when an eviction walk exceeds its budget (caller doubles nb).
+int64_t nvt_cuckoo_build(const int32_t* keys, const int32_t* vals, int64_t n,
+                         int64_t nb, int32_t* packed) {
+  const uint32_t mask = static_cast<uint32_t>(nb) - 1;
+  for (int64_t b = 0; b < nb; ++b) {
+    for (int s = 0; s < kSlots; ++s) {
+      packed[b * 8 + s] = 0;
+      packed[b * 8 + kSlots + s] = -1;  // empty marker lives in the val lane
+    }
+  }
+  uint64_t rng = 0x9E3779B97F4A7C15ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t k = keys[i];
+    int32_t v = vals[i];
+    uint32_t u = static_cast<uint32_t>(k);
+    uint32_t cb = mix32(u) & mask;
+    bool placed = false;
+    for (int attempt = 0; attempt < 500; ++attempt) {
+      int32_t* row = packed + static_cast<int64_t>(cb) * 8;
+      int empty = -1;
+      for (int s = 0; s < kSlots; ++s) {
+        if (row[kSlots + s] == -1) {
+          empty = s;
+          break;
+        }
+      }
+      if (empty >= 0) {
+        row[empty] = k;
+        row[kSlots + empty] = v;
+        placed = true;
+        break;
+      }
+      // evict a pseudo-random occupant and move to its alternate bucket
+      rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+      int s = static_cast<int>((rng >> 33) & (kSlots - 1));
+      int32_t ek = row[s];
+      int32_t ev = row[kSlots + s];
+      row[s] = k;
+      row[kSlots + s] = v;
+      k = ek;
+      v = ev;
+      u = static_cast<uint32_t>(k);
+      uint32_t h1 = mix32(u) & mask;
+      uint32_t h2 = mix32(u ^ kCuckooSeed2) & mask;
+      cb = (cb == h1) ? h2 : h1;
+    }
+    if (!placed) return 0;
+  }
+  return 1;
+}
+
 }  // extern "C"

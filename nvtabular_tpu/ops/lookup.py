@@ -180,6 +180,37 @@ def build_cuckoo(values: np.ndarray, codes: np.ndarray) -> Optional[CuckooLookup
 
 
 def _try_build_cuckoo(keys: np.ndarray, vals: np.ndarray, nb: int) -> Optional[np.ndarray]:
+    native = _try_build_cuckoo_native(keys, vals, nb)
+    if native is not None:
+        return native if native is not False else None
+    return _try_build_cuckoo_numpy(keys, vals, nb)
+
+
+def _try_build_cuckoo_native(keys, vals, nb):
+    """C++ build (~50x the numpy+eviction-loop path at Criteo-scale vocabs).
+    → packed table, False on capacity failure, None when lib unavailable."""
+    try:
+        import ctypes
+
+        from ..serving.native import _build_and_load
+
+        lib = _build_and_load()
+    except Exception:
+        return None
+    keys32 = np.ascontiguousarray(keys, dtype=np.int32)
+    vals32 = np.ascontiguousarray(vals, dtype=np.int32)
+    packed = np.empty((nb, 2 * _BUCKET_SLOTS), dtype=np.int32)
+    ok = lib.nvt_cuckoo_build(
+        keys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(keys32),
+        nb,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return packed if ok else False
+
+
+def _try_build_cuckoo_numpy(keys: np.ndarray, vals: np.ndarray, nb: int) -> Optional[np.ndarray]:
     mask = np.uint32(nb - 1)
     u = keys.view(np.uint32)
     b1 = (_mix32_np(u, np.uint32(0)) & mask).astype(np.int64)

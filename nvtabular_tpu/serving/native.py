@@ -94,6 +94,8 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_counter_size.argtypes = [ctypes.c_void_p]
     lib.nvt_counter_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
     lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
+    lib.nvt_cuckoo_build.restype = ctypes.c_int64
+    lib.nvt_cuckoo_build.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p]
 
 
 def native_available() -> bool:
