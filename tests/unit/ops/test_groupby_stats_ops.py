@@ -166,3 +166,32 @@ def test_target_encoding_device_matches_host_foldfree(tmp_path):
     wf3 = nvt.Workflow((["cat"] >> te_op) + ["y"], executor=ex2)
     out_k = wf3.fit_transform(ds).to_table().to_pandas()
     assert np.isfinite(out_k[[c for c in out_k.columns if c.startswith("TE_")][0]]).all()
+
+
+def test_target_encoding_multi_target_and_multi_group(tmp_path):
+    """TE with several targets and several groups → one TE column per
+    (group, target) pair, each matching the smoothing formula."""
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 20, n).astype(np.int64),
+            "b": rng.integers(0, 10, n).astype(np.int64),
+            "y1": rng.integers(0, 2, n).astype(np.int64),
+            "y2": rng.normal(0, 1, n),
+        }
+    )
+    node = ["a", "b"] >> ops.TargetEncoding(
+        ["y1", "y2"], kfold=1, p_smooth=5, out_path=str(tmp_path)
+    )
+    wf = nvt.Workflow(node + ["y1", "y2"])
+    out = wf.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
+    te_cols = sorted(c for c in out.columns if c.startswith("TE_"))
+    assert te_cols == ["TE_a_y1", "TE_a_y2", "TE_b_y1", "TE_b_y2"]
+    # golden: smoothing formula for one (group, target) pair
+    g = df.groupby("a")["y1"].agg(["sum", "count"])
+    mean = df["y1"].mean()
+    expect = (g.loc[df["a"], "sum"].to_numpy() + 5 * mean) / (
+        g.loc[df["a"], "count"].to_numpy() + 5
+    )
+    np.testing.assert_allclose(out["TE_a_y1"], expect, rtol=1e-5)
