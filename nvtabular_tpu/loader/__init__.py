@@ -6,6 +6,7 @@ merlin-dataloader): chunked background reads, in-chunk shuffle, fixed-size
 jax-array batches, multi-process sharding, ragged→padded multihot.
 """
 
+from .device_loader import DeviceLoader
 from .loader import Loader, augment_schema
 
-__all__ = ["Loader", "augment_schema"]
+__all__ = ["DeviceLoader", "Loader", "augment_schema"]
