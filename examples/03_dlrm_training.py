@@ -74,11 +74,16 @@ def main():
     )
 
     # --- training loop ------------------------------------------------------
+    # DeviceLoader keeps the whole feed in HBM: the workflow's fused
+    # transform leaves batches on device, shuffle is a device permutation,
+    # and batches slice straight into the sharded train step.
+    from nvtabular_tpu.loader import DeviceLoader
+
     batch_size = 8192
-    loader = Loader(
-        transformed, batch_size=batch_size, shuffle=True, seed=0, drop_last=True,
+    loader = DeviceLoader(
+        transformed, batch_size=batch_size, shuffle=True, seed=0,
         cat_names=["user", "item"], cont_names=["price", "position"],
-        label_names=["label"], device=False,
+        label_names=["label"],
     )
     for epoch in range(2):
         losses = []
