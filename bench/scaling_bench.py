@@ -42,7 +42,9 @@ def parse_args():
 def main():
     args = parse_args()
     if args.virtual_cpu:
-        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
     if args.virtual_cpu:

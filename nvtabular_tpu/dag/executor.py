@@ -110,6 +110,14 @@ class JitExecutor(LocalExecutor):
         self.jit_min_rows = jit_min_rows
         self.bucket = bucket
 
+    def _cache_device_state(self, token, dev_state) -> None:
+        """Insert (not replace): full-jit, hybrid-frontier, and multiple
+        graphs can share one executor; bound the cache so stale fitted
+        state can't accumulate without limit."""
+        if len(self._device_state_cache) >= 8:
+            self._device_state_cache.pop(next(iter(self._device_state_cache)))
+        self._device_state_cache[token] = dev_state
+
     def _collect_device_state(self, output_node: Node) -> Dict[str, Any]:
         state: Dict[str, Any] = {}
         for node in postorder_iter_nodes(output_node):
@@ -205,7 +213,7 @@ class JitExecutor(LocalExecutor):
             def run(stacked_dict, state_dict):
                 array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
-                b.row_offset = row_offset
+                b.row_offset = 0  # traced constant; device ops must not use absolute offsets
                 with device_state_scope(state_dict):
                     inner_memo: Dict[int, TableBatch] = {}
                     ex = LocalExecutor()
@@ -221,7 +229,7 @@ class JitExecutor(LocalExecutor):
         dev_state = self._device_state_cache.get(state_token)
         if dev_state is None:
             dev_state = jax.device_put(state)
-            self._device_state_cache = {state_token: dev_state}
+            self._cache_device_state(state_token, dev_state)
         outs = fn(device_arrays, dev_state)
         memo: Dict[int, TableBatch] = {}
         for i, node in enumerate(frontier):
@@ -306,7 +314,7 @@ class JitExecutor(LocalExecutor):
             def run(stacked_dict, state_dict):
                 array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
-                b.row_offset = row_offset
+                b.row_offset = 0  # traced constant; device ops must not use absolute offsets
                 with device_state_scope(state_dict):
                     out = LocalExecutor().transform_batch(b, output_node)
                 return out.to_dict_of_arrays()
@@ -319,7 +327,7 @@ class JitExecutor(LocalExecutor):
         dev_state = self._device_state_cache.get(state_token)
         if dev_state is None:
             dev_state = jax.device_put(state)
-            self._device_state_cache = {state_token: dev_state}
+            self._cache_device_state(state_token, dev_state)
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
         out.row_offset = row_offset

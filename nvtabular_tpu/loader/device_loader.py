@@ -110,13 +110,26 @@ class DeviceLoader:
         dense = []
         for name in self.cont_names:
             col = chunk[name]
+            if col.is_list:
+                raise NotImplementedError(
+                    f"DeviceLoader does not support list-valued continuous "
+                    f"column {name!r}; use the host Loader (pad_lists) or "
+                    f"pre-aggregate it"
+                )
             dense.append(jnp.asarray(col.values, dtype=jnp.float32))
         if dense:
             out["dense"] = jnp.stack(dense, axis=1)
         for name in self.cat_names:
             col = chunk[name]
             if col.is_list:
-                max_len = self.sparse_max.get(name, 8)
+                max_len = self.sparse_max.get(name)
+                if max_len is None:
+                    raise ValueError(
+                        f"multihot column {name!r} needs a static max length "
+                        f"on device: pass sparse_max={{'{name}': L}} or set a "
+                        f"value_count on the schema (silent truncation is "
+                        f"not acceptable)"
+                    )
                 padded, mask = ragged_to_padded(
                     jnp.asarray(col.values), jnp.asarray(col.offsets), max_len, 0
                 )

@@ -403,7 +403,7 @@ class _Vocab:
 
         lut = self.lookup_struct() if len(self.values_by_code) else None
         if lut is not None:
-            table_host = lut.table if hasattr(lut, "table") else lut.packed
+            table_host = lut.host_table
             # prefer the traced argument (device_state), avoiding a large
             # constant baked into the program
             table_dev = get_device_state(self.state_key) if self.state_key else None
@@ -689,7 +689,7 @@ class Categorify(StatOperator):
                 continue
             key = f"categorify:{id(self)}:{vkey}"
             vocab.state_key = key
-            state[key] = lut.table if hasattr(lut, "table") else lut.packed
+            state[key] = lut.host_table
         return state
 
     def is_jit_safe(self, col_selector, input_schema):

@@ -261,13 +261,18 @@ class KeyedStats:
         self._lut_built = True
         return self._lut
 
-    def padded_stat(self, stat: str, default) -> np.ndarray:
-        """Stat array with a miss slot appended at index num_groups."""
+    def padded_stat(self, stat: str, default, dtype=np.float32) -> np.ndarray:
+        """Stat array with a miss slot appended at index num_groups.
+
+        dtype matters on device: jax (x64 off) demotes float64 to float32,
+        so exact counts must ride as int32 (exact to 2^31) rather than
+        float (exact only to 2^24)."""
         cache = getattr(self, "_padded", None)
         if cache is None:
             cache = self._padded = {}
-        key = (stat, float(default) if default == default else "nan")
+        dt = np.dtype(dtype)
+        key = (stat, repr(default), dt.str)
         if key not in cache:
-            arr = np.asarray(self.stats[stat], dtype=np.float64)
-            cache[key] = np.append(arr, np.float64(default))
+            arr = np.asarray(self.stats[stat]).astype(dt)
+            cache[key] = np.append(arr, np.asarray(default).astype(dt))
         return cache[key]

@@ -198,12 +198,12 @@ class JoinGroupby(StatOperator):
             if lut is None:
                 continue
             state[f"joingroupby:{id(self)}:{name}:lut"] = (
-                lut.table if hasattr(lut, "table") else lut.packed
+                lut.host_table
             )
             for stat in self.stats:
                 if stat == "count":
                     state[f"joingroupby:{id(self)}:{name}:__rows"] = keyed.padded_stat(
-                        "__rows", 0.0
+                        "__rows", 0, dtype=np.int32
                     )
                 else:
                     for cont in self.cont_names:
@@ -230,6 +230,10 @@ class JoinGroupby(StatOperator):
                 host = batch.to_host()
             key_arrays = [np.asarray(host[k].values) for k in group]
             idx, found = keyed.row_indices(key_arrays)
+            for k in group:  # null keys never join (device path agrees)
+                kv = host[k].validity
+                if kv is not None:
+                    found = found & np.asarray(kv)
             for stat in self.stats:
                 if stat == "count":
                     vals = np.where(found, keyed.stats["__rows"][idx], 0)
@@ -251,7 +255,7 @@ class JoinGroupby(StatOperator):
         miss = jnp.int32(keyed.num_groups)  # pad slot of padded_stat
         table_dev = get_device_state(f"joingroupby:{id(self)}:{name}:lut")
         if table_dev is None:
-            table_dev = jnp.asarray(lut.table if hasattr(lut, "table") else lut.packed)
+            table_dev = jnp.asarray(lut.host_table)
         idx = lut.encode_dev(table_dev, col.values, miss)
         if col.validity is not None:
             idx = jnp.where(col.validity, idx, miss)
@@ -264,7 +268,10 @@ class JoinGroupby(StatOperator):
 
         for stat in self.stats:
             if stat == "count":
-                vals = jnp.take(stat_array("__rows", 0.0), idx)
+                arr = get_device_state(f"joingroupby:{id(self)}:{name}:__rows")
+                if arr is None:
+                    arr = jnp.asarray(keyed.padded_stat("__rows", 0, dtype=np.int32))
+                vals = jnp.take(arr, idx)
                 out[f"{name}_count"] = Column(vals.astype(jnp.dtype(AGG_DTYPES["count"])))
             else:
                 dtype = AGG_DTYPES.get(stat, np.float32)

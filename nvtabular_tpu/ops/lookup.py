@@ -71,6 +71,11 @@ class DirectLookup:
         self.table = table  # int32, -1 = missing
 
     @property
+    def host_table(self) -> np.ndarray:
+        """The array to publish as device state / pass to encode_dev."""
+        return self.table
+
+    @property
     def nbytes(self) -> int:
         return self.table.nbytes
 
@@ -100,6 +105,11 @@ class CuckooLookup:
     def __init__(self, packed: np.ndarray, nb: int):
         self.packed = packed  # int32 [nb, 8] = [k0..k3, v0..v3]
         self.nb = nb
+
+    @property
+    def host_table(self) -> np.ndarray:
+        """The array to publish as device state / pass to encode_dev."""
+        return self.packed
 
     @property
     def nbytes(self) -> int:
@@ -153,6 +163,10 @@ def build_direct(
         return None
     v = values.astype(np.int64)
     mn, mx = int(v.min()), int(v.max())
+    if mn < np.iinfo(np.int32).min or mx > np.iinfo(np.int32).max:
+        # device inputs are int32 (jax x64 off): keys beyond int32 cannot be
+        # matched on device even when the RANGE is compact
+        return None
     rng = mx - mn + 1
     if rng > max(max_range, 8 * len(v)):
         return None

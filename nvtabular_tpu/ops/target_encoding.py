@@ -235,7 +235,7 @@ class TargetEncoding(StatOperator):
             if lut is None:
                 continue
             state[f"te:{id(self)}:{tag}:lut"] = (
-                lut.table if hasattr(lut, "table") else lut.packed
+                lut.host_table
             )
             for t in self.target:
                 state[f"te:{id(self)}:{tag}:{t}.sum"] = keyed.padded_stat(f"{t}.sum", 0.0)
@@ -257,7 +257,7 @@ class TargetEncoding(StatOperator):
             miss = jnp.int32(keyed.num_groups)
             table_dev = get_device_state(f"te:{id(self)}:{tag}:lut")
             if table_dev is None:
-                table_dev = jnp.asarray(lut.table if hasattr(lut, "table") else lut.packed)
+                table_dev = jnp.asarray(lut.host_table)
             idx = lut.encode_dev(table_dev, col.values, miss)
             if col.validity is not None:
                 idx = jnp.where(col.validity, idx, miss)
@@ -311,6 +311,10 @@ class TargetEncoding(StatOperator):
             overall = self.overall_stats[tag]
             key_arrays = [np.asarray(host[k].values) for k in group]
             idx_all, found_all = overall.row_indices(key_arrays)
+            for k in group:  # null keys never join (device path agrees)
+                kv = host[k].validity
+                if kv is not None:
+                    found_all = found_all & np.asarray(kv)
             if folds is not None:
                 fkeyed = self.fold_stats[tag]
                 idx_f, found_f = fkeyed.row_indices([folds] + key_arrays)

@@ -195,3 +195,52 @@ def test_target_encoding_multi_target_and_multi_group(tmp_path):
         g.loc[df["a"], "count"].to_numpy() + 5
     )
     np.testing.assert_allclose(out["TE_a_y1"], expect, rtol=1e-5)
+
+
+def test_join_groupby_int64_beyond_int32_falls_back_to_host(tmp_path):
+    """Keys outside int32 can't be matched on device (inputs are int32);
+    lookup_struct must decline so the host path runs — regression for the
+    DirectLookup overflow."""
+    from nvtabular_tpu.dag.executor import JitExecutor
+
+    base = np.int64(5_000_000_000)
+    df = pd.DataFrame(
+        {
+            "k": (base + np.arange(300) % 50).astype(np.int64),
+            "x": np.random.default_rng(0).normal(0, 1, 300),
+        }
+    )
+    node = ["k"] >> ops.JoinGroupby(cont_cols=["x"], stats=["mean"], out_path=str(tmp_path))
+    wf = nvt.Workflow(node, executor=JitExecutor(jit_min_rows=0))
+    out = wf.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
+    ref = df.groupby("k")["x"].transform("mean").to_numpy()
+    np.testing.assert_allclose(out["k_x_mean"], ref, rtol=1e-5)
+
+
+def test_join_groupby_null_keys_host_device_agree(tmp_path):
+    """A null-masked key must MISS on both paths (previously host joined
+    the underlying value while device missed)."""
+    from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor
+    from nvtabular_tpu.table import Column, TableBatch
+
+    rng = np.random.default_rng(0)
+    n = 400
+    keys = rng.integers(0, 20, n).astype(np.int64)
+    x = rng.normal(0, 1, n)
+    validity = rng.random(n) > 0.2
+
+    def dataset():
+        tb = TableBatch({"k": Column(keys, None, validity), "x": Column(x)})
+        return nvt.Dataset(tb)
+
+    def build():
+        return ["k"] >> ops.JoinGroupby(cont_cols=["x"], stats=["count"], out_path=str(tmp_path))
+
+    host_wf = nvt.Workflow(build(), executor=LocalExecutor())
+    host_wf.fit(dataset())
+    host = host_wf.transform(dataset()).to_table().to_pandas()
+    dev_wf = nvt.Workflow(build(), executor=JitExecutor(jit_min_rows=0))
+    dev_wf.fit(dataset())
+    dev = dev_wf.transform(dataset()).to_table().to_pandas()
+    np.testing.assert_array_equal(host["k_count"], dev["k_count"])
+    assert (np.asarray(host["k_count"])[~validity] == 0).all()
