@@ -43,7 +43,7 @@ BASELINE_ROWS_PER_SEC = 5.6e6
 NUM_CATS = 26
 NUM_CONTS = 13
 ROWS_PER_PART = 1 << 19  # 512K
-NUM_PARTS = 4
+NUM_PARTS = 8  # granularity for the heterogeneous host/device split
 CARDINALITY = 50_000
 
 
@@ -104,32 +104,60 @@ def main():
     executor = workflow.executor
     out_node = workflow.graph.output_node
 
-    staged = [executor.stage(b, out_node) for b in dataset.to_batches()]
+    batches = list(dataset.to_batches())
+    staged = [executor.stage(b, out_node) for b in batches]
     rows_per_pass = sum(s[2] for s in staged)
 
-    def run_pass():
+    # HETEROGENEOUS execution: the C++ host encode path (thread-parallel,
+    # GIL-free) runs CONCURRENTLY with the TPU gathers — both engines of
+    # the machine transform disjoint slices of the batch stream, like the
+    # reference keeps its host cores busy alongside the GPU.
+    import threading
+
+    from nvtabular_tpu.dag.executor import LocalExecutor
+
+    host_executor = LocalExecutor()
+
+    def run_pass(n_host: int):
+        host_batches = batches[:n_host]
+        dev_staged = staged[n_host:]
+        done = {}
+
+        def host_work():
+            for b in host_batches:
+                host_executor.transform_batch(b, out_node)
+            done["host"] = True
+
+        th = threading.Thread(target=host_work) if host_batches else None
+        if th:
+            th.start()
         sums = []
-        for prep in staged:
+        for prep in dev_staged:
             out = executor._dispatch(prep, out_node)
             first = next(iter(out.columns.values())).values
             sums.append(jnp.sum(first[:8].astype(jnp.float32)))
-        return sums
+        if sums:
+            float(sum(float(s) for s in sums))  # force device execution
+        if th:
+            th.join()
 
-    # warmup: compile + first execution + the readback that flips the tunnel
-    float(sum(float(s) for s in run_pass()))
+    # warmup both engines (compiles + tunnel flip + native table builds)
+    run_pass(0)
+    run_pass(len(batches))
 
-    repeats = 4
+    n_hetero = max(1, int(len(batches) * 0.375))  # ~3/8 host keeps both busy
     pass_rates = []
+    pass_modes = []
     total_rows = 0
     elapsed = 0.0
-    for _ in range(repeats):
+    for mode_host in (0, n_hetero, n_hetero, n_hetero):
         start = time.perf_counter()
-        sums = run_pass()
-        float(sum(float(s) for s in sums))  # forces execution of every batch
+        run_pass(mode_host)
         dt = time.perf_counter() - start
         total_rows += rows_per_pass
         elapsed += dt
         pass_rates.append(rows_per_pass / dt)
+        pass_modes.append("device" if mode_host == 0 else f"hetero{mode_host}/{len(batches)}")
 
     rows_per_sec = max(pass_rates)
     print(
@@ -144,6 +172,7 @@ def main():
                     "seconds": round(elapsed, 3),
                     "fit_seconds": round(fit_seconds, 3),
                     "pass_rows_per_sec": [round(r, 1) for r in pass_rates],
+                    "pass_modes": pass_modes,
                     "cats": NUM_CATS,
                     "conts": NUM_CONTS,
                     "backend": _backend(),
