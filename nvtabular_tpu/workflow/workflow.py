@@ -198,15 +198,18 @@ class TransformedDataset(Dataset):
     def infer_schema(self) -> Schema:
         return self._workflow.output_schema
 
-    def to_batches(self, columns=None, prefetch: int = 2, shard=None, host: bool = True):
+    def to_batches(self, columns=None, prefetch: int = 2, shard=None, host: bool = True,
+                   hetero: Optional[float] = None):
         """``host=False`` keeps transformed batches device-resident (feeding
-        a device consumer like the training loop without a d2h round trip)."""
+        a device consumer like the training loop without a d2h round trip).
+        ``hetero`` routes that fraction of batches through the host C++
+        path concurrently with the device (see JitExecutor.transform_batches)."""
         wf = self._workflow
         input_cols = wf._input_columns or None
         source = self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard)
         pipelined = getattr(wf.executor, "transform_batches", None)
         outputs = (
-            pipelined(source, wf.graph.output_node)
+            pipelined(source, wf.graph.output_node, hetero=hetero)
             if pipelined is not None
             else (
                 wf.executor.transform_batch(b, wf.graph.output_node) for b in source

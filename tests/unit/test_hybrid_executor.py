@@ -89,3 +89,28 @@ def test_all_host_graph_no_frontier():
     np.testing.assert_allclose(
         np.asarray(out["x"].values), df["x"].to_numpy() * 3.0, rtol=1e-12
     )
+
+
+def test_hetero_streaming_order_and_parity():
+    """hetero=f routes a fraction of batches through the host executor on a
+    worker thread; outputs must come back in order with identical values."""
+    rng = np.random.default_rng(2)
+    n = 60_000
+    df = pd.DataFrame(
+        {f"C{i}": rng.integers(0, 300, n).astype(np.int64) for i in range(4)}
+        | {"x": rng.normal(0, 1, n)}
+    )
+    cats = [f"C{i}" for i in range(4)] >> ops.Categorify()
+    wf = nvt.Workflow(cats + (["x"] >> ops.Normalize()), executor=JitExecutor(jit_min_rows=0))
+    ds = nvt.Dataset(df, part_size=512 * 1024)
+    wf.fit(ds)
+    normal = [b.to_pandas() for b in wf.transform(ds).to_batches()]
+    for frac in (0.34, 1.0):
+        hetero = [b.to_pandas() for b in wf.transform(ds).to_batches(hetero=frac)]
+        assert len(hetero) == len(normal)
+        for a, b in zip(normal, hetero):
+            for c in a.columns:
+                if a[c].dtype.kind == "f":
+                    np.testing.assert_allclose(a[c], b[c], rtol=1e-5)
+                else:
+                    np.testing.assert_array_equal(a[c], b[c])
