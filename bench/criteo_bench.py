@@ -45,7 +45,7 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=65536)
     p.add_argument(
         "--transform-backend",
-        choices=["host", "device"],
+        choices=["host", "device", "hetero"],
         default="host",
         help="executor for the transform+write phase. The phase's consumer "
         "is a host parquet writer, so 'host' avoids a device round trip — "
@@ -116,6 +116,7 @@ def main():
         workflow = nvt.Workflow(cats + conts + ["label"], executor=LocalExecutor())
     else:
         workflow = nvt.Workflow(cats + conts + ["label"])
+    hetero = 0.625 if args.transform_backend == "hetero" else None
 
     # phase 1: fit (vocab build + moments)
     t0 = time.perf_counter()
@@ -126,7 +127,22 @@ def main():
     t0 = time.perf_counter()
     shuffle = None if args.shuffle == "none" else Shuffle(args.shuffle)
     transformed = workflow.transform(dataset)
-    write_dataset(transformed, out_path, shuffle=shuffle, out_files=args.out_files)
+    if hetero is not None:
+        # split transform between host C++ and device engines; the writer
+        # consumes in order (device-routed outputs pay one d2h copy —
+        # worthwhile on real PCIe hosts, not through a slow debug tunnel)
+        from nvtabular_tpu.io.writer import ParquetWriter, _write_metadata
+
+        writer = ParquetWriter(out_path, args.out_files)
+        rng_w = np.random.default_rng(42)
+        for batch in transformed.to_batches(hetero=hetero):
+            if shuffle is not None:
+                perm = rng_w.permutation(batch.num_rows)
+                batch = batch.take(perm)
+            writer.append_split(batch)
+        _write_metadata(out_path, writer.close())
+    else:
+        write_dataset(transformed, out_path, shuffle=shuffle, out_files=args.out_files)
     phases["transform_write_s"] = round(time.perf_counter() - t0, 3)
 
     # phase 3: dataloader pass over the output

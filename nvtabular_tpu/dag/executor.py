@@ -144,7 +144,7 @@ class JitExecutor(LocalExecutor):
             if not _node_jit_safe(node.op, node.selector, schema):
                 return False
         for col in batch.columns.values():
-            if col.values.dtype.kind in ("O", "U", "S", "M"):
+            if not _col_device_safe(col):
                 return False
         return True
 
@@ -158,7 +158,7 @@ class JitExecutor(LocalExecutor):
                 # leaf: its selected root columns must be device-able
                 for name in node.selector.names if node.selector else []:
                     col = batch.columns.get(name)
-                    if col is None or col.values.dtype.kind in ("O", "U", "S", "M"):
+                    if col is None or not _col_device_safe(col):
                         ok = False
                         break
             ok = ok and all(
@@ -234,6 +234,10 @@ class JitExecutor(LocalExecutor):
         memo: Dict[int, TableBatch] = {}
         for i, node in enumerate(frontier):
             out = TableBatch.from_dict_of_arrays(outs[str(i)])
+            if node.output_schema is not None:  # jax sorted the dict keys
+                out = out.select(
+                    [c.name for c in node.output_schema if c.name in out]
+                )
             out.row_offset = batch.row_offset
             if meta is not None and out.num_rows != n_rows:
                 out = _unpad_batch(out, n_rows)
@@ -377,6 +381,12 @@ class JitExecutor(LocalExecutor):
             self._cache_device_state(state_token, dev_state)
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
+        # jax sorts dict-pytree keys: restore the schema's column order so
+        # device and host paths emit identical layouts
+        if output_node.output_schema is not None:
+            out = out.select(
+                [c.name for c in output_node.output_schema if c.name in out]
+            )
         out.row_offset = row_offset
         if meta is not None and out.num_rows != n_rows:
             out = _unpad_batch(out, n_rows)
@@ -470,6 +480,23 @@ def _unpad_batch(batch: TableBatch, n_rows: int) -> TableBatch:
     for name, col in batch.columns.items():
         out.columns[name] = col.slice(0, n_rows)
     return out
+
+
+
+def _col_device_safe(col) -> bool:
+    """True when a host column can move to device without data loss:
+    numeric dtype, and int64/uint64 values must fit int32 (jax x64 off
+    narrows 64-bit arrays — silent truncation otherwise)."""
+    kind = col.values.dtype.kind
+    if kind in ("O", "U", "S", "M"):
+        return False
+    if col.values.dtype.itemsize == 8 and kind in ("i", "u"):
+        vals = col.values
+        if vals.size:
+            mn, mx = vals.min(), vals.max()
+            if mn < np.iinfo(np.int32).min or mx > np.iinfo(np.int32).max:
+                return False
+    return True
 
 
 def _node_jit_safe(op: BaseOperator, selector, input_schema: Optional[Schema]) -> bool:

@@ -217,7 +217,12 @@ class TransformedDataset(Dataset):
         )
         for out in outputs:
             if host:
-                out = out.to_host()
+                # restore schema dtypes: device execution narrows 64-bit
+                # passthrough columns to 32-bit (jax x64 off); host
+                # consumers get the promised dtypes back
+                from ..dag.executor import _enforce_dtypes
+
+                out = _enforce_dtypes(out.to_host(), wf.output_dtypes)
             if columns:
                 out = out.select([c for c in columns if c in out])
             yield out
