@@ -33,7 +33,7 @@ def main():
         "labels": [LabelCol("rating", np.int64, 2)],
     }
     data_dir = os.path.join(workdir, "data")
-    gen.full_df_create(200_000, cols, output=data_dir, files_per_output=4)
+    gen.full_df_create(int(os.environ.get('NVT_EXAMPLE_ROWS', 200_000)), cols, output=data_dir, files_per_output=4)
     dataset = nvt.Dataset(data_dir)
     print("dataset:", dataset)
 

@@ -16,7 +16,8 @@ from nvtabular_tpu import ops
 
 def main():
     rng = np.random.default_rng(11)
-    n = 100_000
+    import os
+    n = int(os.environ.get('NVT_EXAMPLE_ROWS', 100_000))
     df = pd.DataFrame(
         {
             "userId": rng.choice(rng.integers(0, 1 << 30, 2000), n).astype(np.int64),

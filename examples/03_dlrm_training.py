@@ -32,7 +32,8 @@ from nvtabular_tpu.parallel import make_mesh, make_train_step, shard_batch, shar
 
 def main():
     rng = np.random.default_rng(0)
-    n = 200_000
+    import os
+    n = int(os.environ.get('NVT_EXAMPLE_ROWS', 200_000))
     df = pd.DataFrame(
         {
             "user": rng.choice(rng.integers(0, 1 << 30, 5000), n).astype(np.int64),
