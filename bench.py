@@ -121,12 +121,10 @@ def main():
     def run_pass(n_host: int):
         host_batches = batches[:n_host]
         dev_staged = staged[n_host:]
-        done = {}
 
         def host_work():
             for b in host_batches:
                 host_executor.transform_batch(b, out_node)
-            done["host"] = True
 
         th = threading.Thread(target=host_work) if host_batches else None
         if th:

@@ -110,13 +110,17 @@ class JitExecutor(LocalExecutor):
         self.jit_min_rows = jit_min_rows
         self.bucket = bucket
 
-    def _cache_device_state(self, token, dev_state) -> None:
-        """Insert (not replace): full-jit, hybrid-frontier, and multiple
-        graphs can share one executor; bound the cache so stale fitted
-        state can't accumulate without limit."""
-        if len(self._device_state_cache) >= 8:
-            self._device_state_cache.pop(next(iter(self._device_state_cache)))
-        self._device_state_cache[token] = dev_state
+    def _get_or_put_device_state(self, group, token, make):
+        """One cached device copy of fitted state PER GROUP (a graph's
+        full-jit path or a frontier set): refits replace their own group's
+        entry immediately (no stale multi-GB HBM generations), while
+        different paths/graphs never evict each other."""
+        entry = self._device_state_cache.get(group)
+        if entry is not None and entry[0] == token:
+            return entry[1]
+        dev_state = make()
+        self._device_state_cache[group] = (token, dev_state)
+        return dev_state
 
     def _collect_device_state(self, output_node: Node) -> Dict[str, Any]:
         state: Dict[str, Any] = {}
@@ -143,10 +147,7 @@ class JitExecutor(LocalExecutor):
             schema = node.input_schema
             if not _node_jit_safe(node.op, node.selector, schema):
                 return False
-        for col in batch.columns.values():
-            if not _col_device_safe(col):
-                return False
-        return True
+        return _batch_device_safe(batch)
 
     def _jittable_frontier(self, output_node: Node, batch: TableBatch) -> List[Node]:
         """Maximal nodes whose ENTIRE upstream closure is jit-safe and whose
@@ -225,11 +226,10 @@ class JitExecutor(LocalExecutor):
 
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
-        state_token = (keys, tuple(sorted((k, id(v)) for k, v in state.items())))
-        dev_state = self._device_state_cache.get(state_token)
-        if dev_state is None:
-            dev_state = jax.device_put(state)
-            self._cache_device_state(state_token, dev_state)
+        state_token = tuple(sorted((k, id(v)) for k, v in state.items()))
+        dev_state = self._get_or_put_device_state(
+            ("frontier",) + keys, state_token, lambda: jax.device_put(state)
+        )
         outs = fn(device_arrays, dev_state)
         memo: Dict[int, TableBatch] = {}
         for i, node in enumerate(frontier):
@@ -374,11 +374,10 @@ class JitExecutor(LocalExecutor):
             self._jit_cache[signature] = fn
         # cache the device copy of fitted state; host array identity is the
         # staleness token (refit replaces the numpy arrays)
-        state_token = (id(output_node), tuple(sorted((k, id(v)) for k, v in state.items())))
-        dev_state = self._device_state_cache.get(state_token)
-        if dev_state is None:
-            dev_state = jax.device_put(state)
-            self._cache_device_state(state_token, dev_state)
+        state_token = tuple(sorted((k, id(v)) for k, v in state.items()))
+        dev_state = self._get_or_put_device_state(
+            id(output_node), state_token, lambda: jax.device_put(state)
+        )
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
         # jax sorts dict-pytree keys: restore the schema's column order so
@@ -481,6 +480,16 @@ def _unpad_batch(batch: TableBatch, n_rows: int) -> TableBatch:
         out.columns[name] = col.slice(0, n_rows)
     return out
 
+
+
+def _batch_device_safe(batch: TableBatch) -> bool:
+    """All columns device-safe; memoized on the batch (the hetero router
+    and transform_batch both ask, and the int64 min/max scan isn't free)."""
+    cached = getattr(batch, "_device_safe", None)
+    if cached is None:
+        cached = all(_col_device_safe(c) for c in batch.columns.values())
+        batch._device_safe = cached
+    return cached
 
 
 def _col_device_safe(col) -> bool:

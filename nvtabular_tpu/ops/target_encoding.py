@@ -318,6 +318,10 @@ class TargetEncoding(StatOperator):
             if folds is not None:
                 fkeyed = self.fold_stats[tag]
                 idx_f, found_f = fkeyed.row_indices([folds] + key_arrays)
+                for k in group:  # null keys contribute no in-fold stats
+                    kv = host[k].validity
+                    if kv is not None:
+                        found_f = found_f & np.asarray(kv)
             for ti, t in enumerate(self.target):
                 mean = self.means.get(t, 0.0)
                 s_all = np.where(found_all, overall.stats[f"{t}.sum"][idx_all], 0.0)

@@ -70,7 +70,12 @@ class Workflow:
         if self.graph.output_schema is None:
             self.graph.construct_schema(batch.infer_schema())
         self._check_fitted()
-        return self.executor.transform_batch(batch, self.graph.output_node)
+        from ..dag.executor import _enforce_dtypes
+
+        out = self.executor.transform_batch(batch, self.graph.output_node)
+        # restore schema dtypes where possible (device execution narrows
+        # 64-bit passthrough columns; host results upcast back here)
+        return _enforce_dtypes(out, self.output_dtypes)
 
     def _check_fitted(self):
         unfitted = [
@@ -208,8 +213,9 @@ class TransformedDataset(Dataset):
         input_cols = wf._input_columns or None
         source = self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard)
         pipelined = getattr(wf.executor, "transform_batches", None)
+        kwargs = {"hetero": hetero} if hetero else {}
         outputs = (
-            pipelined(source, wf.graph.output_node, hetero=hetero)
+            pipelined(source, wf.graph.output_node, **kwargs)
             if pipelined is not None
             else (
                 wf.executor.transform_batch(b, wf.graph.output_node) for b in source

@@ -23,10 +23,10 @@ def test_example_runs(script):
         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
         "PYTHONPATH": os.getcwd(),
     }
+    # __name__ is '__main__' under -c, so the example's guard fires itself
     bootstrap = (
         "import jax; jax.config.update('jax_platforms','cpu'); "
-        f"exec(open({script!r}).read().replace("
-        "'if __name__ == \"__main__\":\\n    main()', 'main()'))"
+        f"exec(open({script!r}).read())"
     )
     res = subprocess.run(
         [sys.executable, "-c", bootstrap],
