@@ -672,5 +672,7 @@ def _enforce_dtypes(batch: TableBatch, output_dtypes: Dict[str, Any]) -> TableBa
             if want.numpy_dtype is not None and col.values.dtype != want.numpy_dtype:
                 if col.values.dtype.kind == "O" or want.is_string:
                     continue
+                if col.backend == "jax" and np.dtype(want.numpy_dtype).itemsize == 8:
+                    continue  # x64 off: device can't widen; host restores later
                 out[name] = col.astype(want)
     return out

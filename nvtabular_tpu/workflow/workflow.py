@@ -56,8 +56,11 @@ class Workflow:
         if isinstance(data, TableBatch):
             return self._transform_batch(data)
         if _is_pandas(data):
+            from ..dag.executor import _enforce_dtypes
+
             batch = TableBatch.from_pandas(data)
-            return self._transform_batch(batch).to_pandas()
+            out = self._transform_batch(batch).to_host()
+            return _enforce_dtypes(out, self.output_dtypes).to_pandas()
         return self._transform_dataset(_as_dataset(data))
 
     def _transform_dataset(self, dataset: Dataset) -> Dataset:
