@@ -120,6 +120,16 @@ class BaseOperator:
 
     def _compute_tags(self, col_schema: ColumnSchema, input_schema: Schema) -> ColumnSchema:
         if self.output_tags:
+            # an op declaring one side of a mutually-exclusive tag pair
+            # REPLACES the other side inherited from upstream (Bucketize
+            # after Normalize: continuous → categorical, not both)
+            from ..tags import _CONFLICTS, TagSet
+
+            declared = set(TagSet(self.output_tags))
+            for conflict in _CONFLICTS:
+                overlap = declared & conflict
+                if overlap:
+                    col_schema = col_schema.without_tags(list(conflict - overlap))
             return col_schema.with_tags(self.output_tags)
         return col_schema
 
