@@ -355,12 +355,13 @@ class TargetEncoding(StatOperator):
     def _compute_shape(self, col_schema, input_schema):
         return col_schema.with_shape(md.Shape.scalar())
 
-    def _compute_tags(self, col_schema, input_schema):
+    @property
+    def output_tags(self):
         from ..tags import Tags
 
-        # the TE_* output is continuous even when derived from a column
-        # tagged categorical upstream (e.g. after Categorify)
-        return col_schema.without_tags([Tags.CATEGORICAL]).with_tags([Tags.CONTINUOUS])
+        # continuous output; the base _compute_tags drops the inherited
+        # CATEGORICAL side of the conflict pair automatically
+        return [Tags.CONTINUOUS]
 
     # --- persistence -----------------------------------------------------
     def serialize_params(self):

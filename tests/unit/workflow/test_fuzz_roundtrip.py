@@ -88,3 +88,31 @@ def test_random_workflow_save_load_parity(seed, tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-5, equal_nan=True, err_msg=f"{c} seed={seed}")
         else:
             np.testing.assert_array_equal(a, b, err_msg=f"{c} seed={seed}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_workflow_device_matches_host(seed):
+    """Same random graphs through the JitExecutor (device/hybrid paths,
+    jit_min_rows=0) must match the host executor."""
+    from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor
+
+    rng = np.random.default_rng(100 + seed)
+    df = _data(rng)
+    ds = nvt.Dataset(df, part_size=16 * 1024)
+
+    rng_g = np.random.default_rng(100 + seed)
+    wf_dev = nvt.Workflow(_random_graph(rng_g), executor=JitExecutor(jit_min_rows=0))
+    out_dev = wf_dev.fit_transform(ds).to_table().to_pandas()
+
+    rng_g = np.random.default_rng(100 + seed)
+    wf_host = nvt.Workflow(_random_graph(rng_g), executor=LocalExecutor())
+    wf_host.fit(ds)
+    out_host = wf_host.transform(ds).to_table().to_pandas()
+
+    assert list(out_dev.columns) == list(out_host.columns)
+    for c in out_dev.columns:
+        a, b = out_dev[c], out_host[c]
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, equal_nan=True, err_msg=f"{c} seed={seed}")
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f"{c} seed={seed}")
