@@ -13,6 +13,11 @@ TPU-first design
   into a single fused TPU program (keyed by batch shape signature). This
   replaces the reference's per-op per-partition dask task maps with one
   HBM-resident fused kernel chain — the design win over a CUDA/dask port.
+  Mixed graphs run HYBRID: the jittable prefix fuses into one device
+  program, host-only ops consume its results eagerly. Streaming adds a
+  prepare pipeline (host work for batch i+1 overlaps device execution of
+  batch i) and optional HETEROGENEOUS mode (a fraction of batches runs on
+  the host C++ path concurrently — both engines busy, ~1.6x combined).
 * ``FitEngine`` — phased statistics pass: ONE scan of the dataset feeds every
   StatOperator of a phase through streaming accumulators
   (fit_init/fit_batch/fit_merge/fit_finalize), with chained stat ops split
