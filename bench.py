@@ -20,6 +20,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent
+
 
 def _enable_compile_cache():
     """The axon remote-compile service takes 100-600 s for a cold compile;
