@@ -103,12 +103,28 @@ class KerasSequenceLoader(Loader):
             yield tensors, labels
 
 
-class KerasSequenceValidater:
-    """Per-epoch validation callback (reference tensorflow.py:269+):
-    run the model over a validation loader, log/return metrics."""
+try:  # subclass the real Keras Callback so fit(callbacks=[...]) drives it
+    from tensorflow.keras.callbacks import Callback as _CallbackBase
+except Exception:  # pragma: no cover - tf absent: minimal protocol stand-in
+    class _CallbackBase:
+        def set_model(self, model):
+            self.model = model
 
-    def __init__(self, dataloader: KerasSequenceLoader):
+        def set_params(self, params):
+            self.params = params
+
+
+class KerasSequenceValidater(_CallbackBase):
+    """Per-epoch validation callback (reference tensorflow.py:269+):
+    run the model over a validation loader, log/return metrics. A real
+    ``tf.keras.callbacks.Callback`` — Keras assigns ``self.model`` via
+    ``set_model`` during ``fit``; pass ``model=`` for standalone use."""
+
+    def __init__(self, dataloader: KerasSequenceLoader, model=None):
+        super().__init__()
         self.dataloader = dataloader
+        if model is not None:
+            self.model = model
 
     def on_epoch_end(self, epoch, logs=None):
         import tensorflow as tf

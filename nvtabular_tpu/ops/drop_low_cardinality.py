@@ -27,10 +27,9 @@ class DropLowCardinality(Operator):
                 continue
             if Tags.CATEGORICAL in cs.tags:
                 domain = cs.properties.get("domain")
-                if domain is not None and domain.get("max", 0) <= self.min_cardinality:
-                    # max code ≤ threshold → the column carries (almost) no
-                    # information (reference drop_low_cardinality.py:53-89
-                    # compares int_domain.max against min_cardinality)
+                if domain is not None and domain.get("max", 0) < self.min_cardinality:
+                    # drop only on strict < (reference drop_low_cardinality.py:86
+                    # KEEPS columns with int_domain.max >= min_cardinality)
                     continue
             keep.append(name)
         return ColumnSelector(keep)
