@@ -115,16 +115,25 @@ class JitExecutor(LocalExecutor):
         self.jit_min_rows = jit_min_rows
         self.bucket = bucket
 
-    def _get_or_put_device_state(self, group, token, make):
+    def _get_or_put_device_state(self, group, host_state, make):
         """One cached device copy of fitted state PER GROUP (a graph's
         full-jit path or a frontier set): refits replace their own group's
         entry immediately (no stale multi-GB HBM generations), while
-        different paths/graphs never evict each other."""
+        different paths/graphs never evict each other.
+
+        Freshness is per-key host-array IDENTITY, with the cache entry
+        holding strong references to those arrays — so a refit that frees
+        the old numpy arrays can never recycle an id into a false match
+        (a bare id()-tuple token could)."""
         entry = self._device_state_cache.get(group)
-        if entry is not None and entry[0] == token:
-            return entry[1]
+        if entry is not None:
+            cached_host = entry[0]
+            if cached_host.keys() == host_state.keys() and all(
+                cached_host[k] is host_state[k] for k in host_state
+            ):
+                return entry[1]
         dev_state = make()
-        self._device_state_cache[group] = (token, dev_state)
+        self._device_state_cache[group] = (dict(host_state), dev_state)
         return dev_state
 
     def _collect_device_state(self, output_node: Node) -> Dict[str, Any]:
@@ -231,9 +240,8 @@ class JitExecutor(LocalExecutor):
 
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
-        state_token = tuple(sorted((k, id(v)) for k, v in state.items()))
         dev_state = self._get_or_put_device_state(
-            ("frontier",) + keys, state_token, lambda: jax.device_put(state)
+            ("frontier",) + keys, state, lambda: jax.device_put(state)
         )
         outs = fn(device_arrays, dev_state)
         memo: Dict[int, TableBatch] = {}
@@ -377,11 +385,8 @@ class JitExecutor(LocalExecutor):
 
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
-        # cache the device copy of fitted state; host array identity is the
-        # staleness token (refit replaces the numpy arrays)
-        state_token = tuple(sorted((k, id(v)) for k, v in state.items()))
         dev_state = self._get_or_put_device_state(
-            id(output_node), state_token, lambda: jax.device_put(state)
+            id(output_node), state, lambda: jax.device_put(state)
         )
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)

@@ -104,6 +104,11 @@ class _Partition:
     def num_rows(self) -> int:
         raise NotImplementedError
 
+    @property
+    def nbytes(self) -> int:
+        """Estimated in-memory bytes when loaded (drives spill decisions)."""
+        return 0
+
 
 class _MemoryPartition(_Partition):
     def __init__(self, batch: TableBatch):
@@ -118,12 +123,17 @@ class _MemoryPartition(_Partition):
     def num_rows(self) -> int:
         return self.batch.num_rows
 
+    @property
+    def nbytes(self) -> int:
+        return _batch_nbytes(self.batch)
+
 
 class _ParquetPartition(_Partition):
-    def __init__(self, path: str, row_groups: List[int], rows: int):
+    def __init__(self, path: str, row_groups: List[int], rows: int, nbytes: int = 0):
         self.path = path
         self.row_groups = row_groups
         self.rows = rows
+        self._nbytes = nbytes
 
     def load(self, columns=None) -> TableBatch:
         f = _parquet_file(self.path)
@@ -133,6 +143,120 @@ class _ParquetPartition(_Partition):
     @property
     def num_rows(self) -> int:
         return self.rows
+
+    @property
+    def nbytes(self) -> int:
+        if not self._nbytes:
+            try:
+                meta = _parquet_file(self.path).metadata
+                self._nbytes = sum(
+                    meta.row_group(rg).total_byte_size for rg in self.row_groups
+                )
+            except Exception:
+                self._nbytes = self.rows * 64  # coarse fallback
+        return self._nbytes
+
+
+class _SegmentsPartition(_Partition):
+    """A lazy view over row ranges of other partitions: loads and slices
+    only its own segments, so repartition never materializes the dataset
+    (reference repartitions through dask without full collect)."""
+
+    def __init__(self, segments: List[Tuple[_Partition, int, int]]):
+        self.segments = segments  # (source partition, start row, length)
+
+    def load(self, columns=None) -> TableBatch:
+        pieces = [
+            src.load(columns).slice(start, length)
+            for src, start, length in self.segments
+        ]
+        return pieces[0] if len(pieces) == 1 else concat_rows(pieces)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(length for _, _, length in self.segments)
+
+    @property
+    def nbytes(self) -> int:
+        total = 0
+        for src, _, length in self.segments:
+            rows = max(src.num_rows, 1)
+            total += int(src.nbytes * (length / rows))
+        return total
+
+
+class _MergePartition(_Partition):
+    """Lazy pandas merge of one left partition against a (small,
+    materialized) right table — the broadcast-join half of Dataset.merge."""
+
+    def __init__(self, left: _Partition, right_df, kwargs: Dict[str, Any]):
+        self.left = left
+        self.right_df = right_df
+        self.kwargs = kwargs
+        self._rows: Optional[int] = None
+
+    def load(self, columns=None) -> TableBatch:
+        merged = self.left.load(None).to_pandas().merge(self.right_df, **self.kwargs)
+        self._rows = len(merged)
+        out = TableBatch.from_pandas(merged)
+        if columns:
+            out = out.select([c for c in columns if c in out])
+        return out
+
+    @property
+    def num_rows(self) -> int:
+        if self._rows is None:
+            self.load()
+        return self._rows
+
+
+class _MergePairPartition(_Partition):
+    """Lazy merge of one co-bucketed (left, right) partition pair — the
+    shuffle-join half of Dataset.merge for two large inputs."""
+
+    def __init__(
+        self,
+        left: Optional[_Partition],
+        right: Optional[_Partition],
+        left_cols: List[str],
+        right_cols: List[str],
+        kwargs: Dict[str, Any],
+    ):
+        self.left = left
+        self.right = right
+        self.left_cols = left_cols
+        self.right_cols = right_cols
+        self.kwargs = kwargs
+        self._rows: Optional[int] = None
+
+    def load(self, columns=None) -> TableBatch:
+        import pandas as pd
+
+        # a bucket with no rows on one side merges against an empty frame
+        # with that side's columns — pd.merge then gives the right inner/
+        # left/right/outer semantics for free
+        lt = (
+            self.left.load(None).to_pandas()
+            if self.left is not None
+            else pd.DataFrame(columns=self.left_cols)
+        )
+        rt = (
+            self.right.load(None).to_pandas()
+            if self.right is not None
+            else pd.DataFrame(columns=self.right_cols)
+        )
+        merged = lt.merge(rt, **self.kwargs)
+        self._rows = len(merged)
+        out = TableBatch.from_pandas(merged)
+        if columns:
+            out = out.select([c for c in columns if c in out])
+        return out
+
+    @property
+    def num_rows(self) -> int:
+        if self._rows is None:
+            self.load()
+        return self._rows
 
 
 class _CsvPartition(_Partition):
@@ -166,6 +290,13 @@ class _CsvPartition(_Partition):
             self.load()
         return self._rows
 
+    @property
+    def nbytes(self) -> int:
+        try:
+            return os.path.getsize(self.path)
+        except OSError:
+            return 0
+
 
 class Dataset:
     """A lazily-partitioned columnar dataset."""
@@ -187,9 +318,12 @@ class Dataset:
         self.base_dataset = self
         if part_size is None:
             if part_mem_fraction is not None:
-                # analog of the reference's fraction-of-GPU-memory partitioning;
-                # interpret against a nominal 16 GB HBM budget
-                part_size = int(part_mem_fraction * 16 * 1024**3)
+                # analog of the reference's fraction-of-GPU-memory partitioning
+                # (reference io/dataset.py part_mem_fraction), against the
+                # runtime-reported accelerator memory
+                from ..utils import device_mem_size
+
+                part_size = int(part_mem_fraction * device_mem_size())
             else:
                 part_size = DEFAULT_PART_SIZE
         elif isinstance(part_size, str):
@@ -198,12 +332,14 @@ class Dataset:
 
         self._partitions: List[_Partition] = []
         self.engine = engine
+        self._spill_tmpdir = None  # holds shuffle spill TemporaryDirectory(s)
 
         if isinstance(source, Dataset):
             self._partitions = list(source._partitions)
             self._schema = self._schema or source._schema
             self.engine = self.engine or source.engine
             self.base_dataset = source.base_dataset
+            self._spill_tmpdir = source._spill_tmpdir
         elif isinstance(source, TableBatch):
             self._partitions = list(self._plan_memory(source))
             self.engine = "memory"
@@ -263,13 +399,13 @@ class Dataset:
                 rg_meta = meta.row_group(rg)
                 rg_bytes = rg_meta.total_byte_size
                 if current and cur_bytes + rg_bytes > self.part_size:
-                    parts.append(_ParquetPartition(path, current, cur_rows))
+                    parts.append(_ParquetPartition(path, current, cur_rows, cur_bytes))
                     current, cur_bytes, cur_rows = [], 0, 0
                 current.append(rg)
                 cur_bytes += rg_bytes
                 cur_rows += rg_meta.num_rows
             if current:
-                parts.append(_ParquetPartition(path, current, cur_rows))
+                parts.append(_ParquetPartition(path, current, cur_rows, cur_bytes))
         return parts
 
     # --- metadata ----------------------------------------------------------
@@ -376,42 +512,162 @@ class Dataset:
         return self
 
     # --- repartition / shuffle ----------------------------------------------
+    def estimated_nbytes(self) -> int:
+        """Estimated total in-memory bytes (sum of partition estimates)."""
+        return sum(p.nbytes for p in self._partitions)
+
     def repartition(self, npartitions: int) -> "Dataset":
-        table = self.to_table()
-        rows_per = max(1, math.ceil(table.num_rows / npartitions))
-        batches = [
-            table.slice(start, min(rows_per, table.num_rows - start))
-            for start in range(0, table.num_rows, rows_per)
-        ]
-        out = Dataset(batches, part_size=self.part_size)
+        """Re-split into ``npartitions`` lazy row-range views — no partition
+        is loaded now, and loading one output partition touches only the
+        input partitions it overlaps (bounded memory; the reference
+        repartitions through dask the same way)."""
+        total = self.num_rows
+        rows_per = max(1, math.ceil(total / max(npartitions, 1)))
+        # flat list of (partition, start offset within it) boundaries
+        out_parts: List[_Partition] = []
+        src_iter = iter(self._partitions)
+        src = next(src_iter, None)
+        src_pos = 0
+        while src is not None:
+            segments: List[Tuple[_Partition, int, int]] = []
+            need = rows_per
+            while need > 0 and src is not None:
+                avail = src.num_rows - src_pos
+                if avail <= 0:
+                    src = next(src_iter, None)
+                    src_pos = 0
+                    continue
+                take = min(avail, need)
+                segments.append((src, src_pos, take))
+                src_pos += take
+                need -= take
+            if segments:
+                out_parts.append(_SegmentsPartition(segments))
+        out = Dataset([TableBatch()], part_size=self.part_size)
+        if out_parts:
+            out._partitions = out_parts
+            out.engine = self.engine
         out._schema = self._schema
+        out._spill_tmpdir = self._spill_tmpdir
         return out
 
-    def shuffle_by_keys(self, keys: List[str], npartitions: Optional[int] = None) -> "Dataset":
-        """Repartition so all rows with equal key values land in the same
-        partition (contract documented at reference nvtabular/ops/groupby.py:33-40).
-        Hash-based routing, streaming over input partitions."""
+    def _bucket_batch(self, batch: TableBatch, keys: List[str], nparts: int):
+        """Split one batch by key-hash into (bucket, sub_batch) pairs."""
         from ..dispatch import hash_array
 
+        h = None
+        for k in keys:
+            hk = hash_array(np.asarray(batch[k].to_host().values), seed=17)
+            h = hk if h is None else (h * np.uint32(31) + hk)
+        dest = (h % np.uint32(nparts)).astype(np.int64)
+        order = np.argsort(dest, kind="stable")
+        sorted_dest = dest[order]
+        bounds = np.searchsorted(sorted_dest, np.arange(nparts + 1))
+        for b in range(nparts):
+            lo, hi = bounds[b], bounds[b + 1]
+            if hi > lo:
+                yield b, batch.take(order[lo:hi])
+
+    def shuffle_by_keys(
+        self,
+        keys: List[str],
+        npartitions: Optional[int] = None,
+        memory_limit: Optional[int] = None,
+        spill_dir: Optional[str] = None,
+    ) -> "Dataset":
+        """Repartition so all rows with equal key values land in the same
+        partition (contract documented at reference nvtabular/ops/groupby.py:33-40).
+        Hash-based routing, streaming over input partitions.
+
+        Datasets whose estimate exceeds ``memory_limit`` (default: 25% of
+        host RAM) spill buckets to per-bucket parquet files as each input
+        partition streams through — peak memory is one input partition +
+        open writers, matching the reference's disk-backed dask shuffle
+        (reference ops/categorify.py:1036-1049)."""
         nparts = npartitions or self.npartitions
+        dense, tmp = self._shuffle_buckets(keys, nparts, memory_limit, spill_dir)
+        parts = [p for p in dense if p is not None]
+        out = Dataset([TableBatch()], part_size=self.part_size)
+        if parts:
+            out._partitions = parts
+            out.engine = "parquet" if tmp is not None else self.engine
+        out._schema = self._schema
+        out._spill_tmpdir = tmp  # keep spill files alive as long as the plan
+        return out
+
+    def _shuffle_buckets(
+        self,
+        keys: List[str],
+        nparts: int,
+        memory_limit: Optional[int] = None,
+        spill_dir: Optional[str] = None,
+    ) -> Tuple[List[Optional[_Partition]], Any]:
+        """Hash-partition into a DENSE length-``nparts`` bucket list
+        (None = empty bucket). Returns (buckets, spill_tmpdir_or_None)."""
+        if memory_limit is None:
+            memory_limit = _default_shuffle_memory_limit()
+        if self.estimated_nbytes() > memory_limit:
+            return self._shuffle_buckets_spill(keys, nparts, spill_dir)
+
         buckets: List[List[TableBatch]] = [[] for _ in range(nparts)]
         for batch in self.to_batches(prefetch=1):
-            h = None
-            for k in keys:
-                hk = hash_array(np.asarray(batch[k].to_host().values), seed=17)
-                h = hk if h is None else (h * np.uint32(31) + hk)
-            dest = (h % np.uint32(nparts)).astype(np.int64)
-            order = np.argsort(dest, kind="stable")
-            sorted_dest = dest[order]
-            bounds = np.searchsorted(sorted_dest, np.arange(nparts + 1))
-            for b in range(nparts):
-                lo, hi = bounds[b], bounds[b + 1]
-                if hi > lo:
-                    buckets[b].append(batch.take(order[lo:hi]))
-        batches = [concat_rows(bs) for bs in buckets if bs]
-        out = Dataset(batches if batches else [TableBatch()], part_size=self.part_size)
-        out._schema = self._schema
-        return out
+            for b, sub in self._bucket_batch(batch, keys, nparts):
+                buckets[b].append(sub)
+        dense: List[Optional[_Partition]] = [
+            _MemoryPartition(concat_rows(bs)) if bs else None for bs in buckets
+        ]
+        return dense, None
+
+    def _shuffle_buckets_spill(
+        self, keys: List[str], nparts: int, spill_dir: Optional[str]
+    ) -> Tuple[List[Optional[_Partition]], Any]:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        tmp = None
+        if spill_dir is None:
+            tmp = tempfile.TemporaryDirectory(prefix="nvt_shuffle_")
+            spill_dir = tmp.name
+        os.makedirs(spill_dir, exist_ok=True)
+        writers: Dict[int, Any] = {}
+        paths: Dict[int, str] = {}
+        rows: Dict[int, int] = {}
+        writer_schema = None
+        try:
+            for batch in self.to_batches(prefetch=1):
+                for b, sub in self._bucket_batch(batch, keys, nparts):
+                    table = sub.to_arrow()
+                    if writer_schema is None:
+                        writer_schema = table.schema
+                    elif table.schema != writer_schema:
+                        table = table.cast(writer_schema)
+                    w = writers.get(b)
+                    if w is None:
+                        paths[b] = os.path.join(spill_dir, f"bucket_{b:05d}.parquet")
+                        w = pq.ParquetWriter(paths[b], writer_schema)
+                        writers[b] = w
+                        rows[b] = 0
+                    w.write_table(table)
+                    rows[b] += table.num_rows
+        finally:
+            for w in writers.values():
+                w.close()
+        # one output partition PER BUCKET FILE (never re-split by row group:
+        # that would scatter equal keys across partitions)
+        dense: List[Optional[_Partition]] = [None] * nparts
+        for b in sorted(paths):
+            meta = _parquet_file(paths[b]).metadata
+            dense[b] = _ParquetPartition(
+                paths[b],
+                list(range(meta.num_row_groups)),
+                rows[b],
+                sum(
+                    meta.row_group(rg).total_byte_size
+                    for rg in range(meta.num_row_groups)
+                ),
+            )
+        return dense, tmp
 
     # --- persistence --------------------------------------------------------
     def to_parquet(
@@ -434,18 +690,77 @@ class Dataset:
         )
 
     @classmethod
-    def merge(cls, left: "Dataset", right: "Dataset", **kwargs):
-        import pandas as pd
+    def merge(
+        cls,
+        left: "Dataset",
+        right: "Dataset",
+        memory_limit: Optional[int] = None,
+        **kwargs,
+    ):
+        """Join two Datasets without materializing either (reference
+        Dataset.merge delegates to dask's merge).
 
-        lt = left.to_table().to_pandas()
-        rt = right.to_table().to_pandas()
-        return cls(TableBatch.from_pandas(lt.merge(rt, **kwargs)))
+        Small right side → broadcast join: right is materialized ONCE,
+        each left partition merges lazily at load. Both sides large →
+        shuffle join: both are hash-partitioned by the join keys (spilling
+        to disk past ``memory_limit``) and co-buckets merge lazily."""
+        if memory_limit is None:
+            memory_limit = _default_shuffle_memory_limit()
+        if right.estimated_nbytes() <= memory_limit:
+            right_df = right.to_table().to_pandas()
+            out = cls([TableBatch()], part_size=left.part_size)
+            out._partitions = [
+                _MergePartition(p, right_df, dict(kwargs)) for p in left._partitions
+            ] or out._partitions
+            out.engine = left.engine
+            return out
+
+        keys_l = kwargs.get("left_on") or kwargs.get("on")
+        keys_r = kwargs.get("right_on") or kwargs.get("on")
+        if keys_l is None or keys_r is None:
+            raise ValueError(
+                "large-large Dataset.merge needs explicit join keys "
+                "(on= or left_on=/right_on=)"
+            )
+        if isinstance(keys_l, str):
+            keys_l = [keys_l]
+        if isinstance(keys_r, str):
+            keys_r = [keys_r]
+        nparts = max(left.npartitions, right.npartitions)
+        lparts, ltmp = left._shuffle_buckets(list(keys_l), nparts, memory_limit)
+        rparts, rtmp = right._shuffle_buckets(list(keys_r), nparts, memory_limit)
+        lcols = list(left.schema.column_names)
+        rcols = list(right.schema.column_names)
+        out = cls([TableBatch()], part_size=left.part_size)
+        pair_parts: List[_Partition] = [
+            _MergePairPartition(lp, rp, lcols, rcols, dict(kwargs))
+            for lp, rp in zip(lparts, rparts)
+            if lp is not None or rp is not None
+        ]
+        if pair_parts:
+            out._partitions = pair_parts
+            out.engine = left.engine
+        out._spill_tmpdir = (ltmp, rtmp)  # keep spill files alive
+        return out
 
     def __repr__(self):
         return (
             f"<Dataset engine={self.engine} partitions={self.npartitions} "
             f"columns={len(self.schema)}>"
         )
+
+
+def _default_shuffle_memory_limit() -> int:
+    """Spill threshold for key shuffles/merges: 25% of host RAM (analog of
+    dask's memory-target fraction), overridable via NVT_SHUFFLE_MEMORY_LIMIT
+    bytes."""
+    env = os.environ.get("NVT_SHUFFLE_MEMORY_LIMIT")
+    if env:
+        return int(env)
+    from ..utils import device_mem_size
+
+    host = device_mem_size(cpu=True)
+    return host // 4 if host else 4 * 1024**3
 
 
 def _prefetch_iter(parts, columns, depth=2):

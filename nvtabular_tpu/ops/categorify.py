@@ -220,14 +220,33 @@ class _VocabAccum:
         if self._counter is not None:
             keys, counts = self._counter.extract()
             if self.partials:
-                # normalize arrow partials to int64 so schemas unify with the
-                # native counter's keys (mixed native/arrow arises in
-                # multi-host merges when one host lacks the native library)
-                self.partials = [
-                    t.set_column(0, "value", t.column("value").cast(pa.int64()))
+                import pyarrow.types as pat
+
+                if all(
+                    pat.is_integer(t.schema.field("value").type)
                     for t in self.partials
-                ]
-                self.partials.append(pa.table({"value": keys, "count": counts}))
+                ):
+                    # int-typed partials unify losslessly with the native
+                    # counter's int64 keys (mixed native/arrow arises in
+                    # multi-host merges when one host lacks the native library)
+                    self.partials = [
+                        t.set_column(0, "value", t.column("value").cast(pa.int64()))
+                        for t in self.partials
+                    ]
+                    self.partials.append(pa.table({"value": keys, "count": counts}))
+                else:
+                    # non-integer partials (float/string keys): casting THEM
+                    # to int64 would truncate — instead fold the counter's
+                    # int keys into arrow under the partials' value type
+                    vtype = self.partials[0].schema.field("value").type
+                    self.partials.append(
+                        pa.table(
+                            {
+                                "value": pa.array(keys).cast(vtype),
+                                "count": pa.array(counts, type=pa.int64()),
+                            }
+                        )
+                    )
             else:
                 order = np.lexsort((keys, -counts))
                 values = keys[order]
@@ -931,8 +950,7 @@ class Categorify(StatOperator):
                 values = np.asarray(vocab)
             nb = _per_column(self.num_buckets, key, 1) or 1
             self.vocabs[key] = _Vocab(values, np.zeros(len(values), dtype=np.int64), nb)
-        if self.vocabs and not any(True for _ in ()):
-            self.fitted = len(self.vocabs) > 0
+        self.fitted = len(self.vocabs) > 0
 
     # ------------------------------------------------------------------
     # serving fast path (C++ hash-map lookup; reference categorify.py:602-609)
