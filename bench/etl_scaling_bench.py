@@ -1,0 +1,121 @@
+"""ETL transform scaling sweep over data-parallel mesh widths.
+
+The distributed-ETL counterpart of scaling_bench.py (which sweeps DLRM
+training): the SAME fused workflow program (26x Categorify + 13x
+FillMissing->Clip->LogOp->Normalize) runs with batch rows sharded over a
+1..N-device mesh via JitExecutor(mesh=...) — the analog of the reference's
+multi-GPU ETL benchmark (reference bench/examples/MultiGPUBench.md,
+dask-nvtabular-criteo-benchmark.py). On a single-chip machine run with a
+virtual CPU mesh to validate the sharded program:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python bench/etl_scaling_bench.py --rows 1000000
+
+Reports per-width transform rows/s as one JSON object.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=1_000_000)
+    p.add_argument("--parts", type=int, default=8)
+    p.add_argument("--cats", type=int, default=26)
+    p.add_argument("--conts", type=int, default=13)
+    p.add_argument("--cardinality", type=int, default=100_000)
+    p.add_argument("--passes", type=int, default=3, help="timed passes; best is reported")
+    p.add_argument("--virtual-cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.virtual_cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    import jax
+
+    if args.virtual_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import pandas as pd
+
+    import nvtabular_tpu as nvt
+    from nvtabular_tpu import ops
+    from nvtabular_tpu.dag.executor import JitExecutor
+    from nvtabular_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    data = {}
+    for i in range(args.cats):
+        # power-law-ish key popularity like Criteo
+        u = rng.random(args.rows)
+        data[f"C{i}"] = np.minimum(
+            (args.cardinality * u**3).astype(np.int64), args.cardinality - 1
+        )
+    for i in range(args.conts):
+        data[f"I{i}"] = rng.normal(0, 10, args.rows)
+    df = pd.DataFrame(data)
+    ds = nvt.Dataset(df, npartitions=args.parts)
+
+    cat_names = [f"C{i}" for i in range(args.cats)]
+    cont_names = [f"I{i}" for i in range(args.conts)]
+
+    def build_graph():
+        return (cat_names >> ops.Categorify()) + (
+            cont_names
+            >> ops.FillMissing()
+            >> ops.Clip(min_value=0.0)
+            >> ops.LogOp()
+            >> ops.Normalize()
+        )
+
+    devices = jax.devices()
+    widths = sorted({w for w in (1, 2, 4, 8, len(devices)) if w <= len(devices)})
+    results = []
+    for width in widths:
+        mesh = make_mesh({"data": -1}, devices[:width]) if width > 1 else None
+        ex = JitExecutor(jit_min_rows=1024, mesh=mesh)
+        wf = nvt.Workflow(build_graph(), executor=ex)
+        wf.fit(ds)
+        best = 0.0
+        for _ in range(args.passes):
+            t0 = time.perf_counter()
+            total = 0
+            for out in wf.transform(ds).to_iter():
+                # force execution: touch one value per batch (d2h readback)
+                first = out[out.column_names[0]]
+                np.asarray(first.values[:1])
+                total += out.num_rows
+            dt = time.perf_counter() - t0
+            best = max(best, total / dt)
+        results.append({"devices": width, "rows_per_sec": round(best, 1)})
+        print(f"  width={width}: {best:,.0f} rows/s", file=sys.stderr)
+
+    report = {
+        "metric": "etl_transform_scaling",
+        "rows": args.rows,
+        "cats": args.cats,
+        "conts": args.conts,
+        "backend": jax.default_backend(),
+        "sweep": results,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

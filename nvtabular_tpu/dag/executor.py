@@ -109,11 +109,66 @@ class JitExecutor(LocalExecutor):
     below `jit_min_rows` run on the host path, where compile cost would
     dominate (tiny eager/serving batches)."""
 
-    def __init__(self, jit_min_rows: int = 16384, bucket: bool = True):
+    def __init__(
+        self,
+        jit_min_rows: int = 16384,
+        bucket: bool = True,
+        mesh=None,
+        data_axis: str = "data",
+    ):
         self._jit_cache: Dict[Any, Any] = {}
         self._device_state_cache: Dict[int, Any] = {}
         self.jit_min_rows = jit_min_rows
         self.bucket = bucket
+        # Data-parallel multi-chip transform (SURVEY §2.8 P1, reference
+        # MultiGPUBench.md): rows of each batch shard over `mesh`'s
+        # `data_axis`, fitted state replicates, and XLA GSPMD compiles the
+        # SAME fused program SPMD — lookups are row-local gathers from
+        # replicated tables, so no collectives are needed on the hot path.
+        self.mesh = mesh
+        self.data_axis = data_axis
+
+    def _row_shardings(self, stacked: Dict[str, Any]):
+        """Per-array NamedShardings placing the ROW axis over the mesh, or
+        None when the batch can't shard evenly (ragged offsets arrays, or
+        rows not divisible by the mesh). Stacked 2D arrays are [cols, rows]
+        (rows last); singletons are [rows]."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = int(self.mesh.shape[self.data_axis])
+        for v in stacked.values():
+            rows = v.shape[-1]
+            if rows % ndev != 0:
+                return None
+        return {
+            k: NamedSharding(
+                self.mesh,
+                P(self.data_axis) if v.ndim == 1 else P(None, self.data_axis),
+            )
+            for k, v in stacked.items()
+        }
+
+    def _put_batch(self, stacked: Dict[str, Any]):
+        """device_put of the packed batch — row-sharded over the mesh when
+        one is configured, single-device otherwise."""
+        import jax
+
+        shardings = self._row_shardings(stacked)
+        if shardings is None:
+            return jax.device_put(stacked)
+        return {k: jax.device_put(v, shardings[k]) for k, v in stacked.items()}
+
+    def _put_state(self, state: Dict[str, Any]):
+        """Fitted state (lookup tables) replicates across the mesh."""
+        import jax
+
+        if self.mesh is None:
+            return jax.device_put(state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(state, NamedSharding(self.mesh, P()))
 
     def _get_or_put_device_state(self, group, host_state, make):
         """One cached device copy of fitted state PER GROUP (a graph's
@@ -209,7 +264,7 @@ class JitExecutor(LocalExecutor):
                     needed.update(up.selector.names)
         sub = batch.select([c for c in batch.column_names if c in needed])
         layout, stacked, n_rows, row_offset, meta = self._prepare(sub, None)
-        device_arrays = jax.device_put(stacked)
+        device_arrays = self._put_batch(stacked)
         state: Dict[str, Any] = {}
         for node in frontier:
             for up in _upstream_closure(node):
@@ -241,7 +296,7 @@ class JitExecutor(LocalExecutor):
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
         dev_state = self._get_or_put_device_state(
-            ("frontier",) + keys, state, lambda: jax.device_put(state)
+            ("frontier",) + keys, state, lambda: self._put_state(state)
         )
         outs = fn(device_arrays, dev_state)
         memo: Dict[int, TableBatch] = {}
@@ -354,7 +409,7 @@ class JitExecutor(LocalExecutor):
         import jax
 
         layout, stacked, n_rows, row_offset, meta = self._prepare(batch, output_node)
-        return layout, jax.device_put(stacked), n_rows, row_offset, meta
+        return layout, self._put_batch(stacked), n_rows, row_offset, meta
 
     def _dispatch(self, prepared, output_node: Node) -> TableBatch:
         import jax
@@ -362,7 +417,7 @@ class JitExecutor(LocalExecutor):
         layout, stacked, n_rows, row_offset, meta = prepared
         # ONE device_put over a few large same-dtype buffers: per-transfer
         # latency amortizes across the whole batch (no-op for staged inputs)
-        device_arrays = jax.device_put(stacked)
+        device_arrays = self._put_batch(stacked)
         # fitted state (vocab tables) rides as jit arguments, NOT constants
         # (multi-MB constants stall XLA compilation; see dag/device_state.py)
         state = self._collect_device_state(output_node)
@@ -386,7 +441,7 @@ class JitExecutor(LocalExecutor):
             fn = jax.jit(run)
             self._jit_cache[signature] = fn
         dev_state = self._get_or_put_device_state(
-            id(output_node), state, lambda: jax.device_put(state)
+            id(output_node), state, lambda: self._put_state(state)
         )
         out_arrays = fn(device_arrays, dev_state)
         out = TableBatch.from_dict_of_arrays(out_arrays)
@@ -582,7 +637,14 @@ class FitEngine:
             for n in nodes:
                 state = states[id(n)]
                 if shard is not None and world > 1:
-                    state = n.op.fit_merge(allgather_pyobj(state))
+                    # ops can override the reduction (Categorify exchanges
+                    # large vocabs over a mesh all-to-all instead of
+                    # pickling whole accumulators through the allgather)
+                    reducer = getattr(n.op, "fit_reduce_multihost", None)
+                    if reducer is not None:
+                        state = reducer(state)
+                    else:
+                        state = n.op.fit_merge(allgather_pyobj(state))
                 n.op.fit_finalize(state)
                 n.op.fitted = True
             # per-phase wall-clock (the dask-dashboard observability analog)

@@ -633,6 +633,95 @@ class Categorify(StatOperator):
                 out[key].merge(s[key])
         return out
 
+    def fit_reduce_multihost(self, state):
+        """Multi-process reduction of per-host vocab accumulators.
+
+        Large int-key vocabularies exchange (key, count) pairs via ONE mesh
+        all-to-all so each pair travels once and each host re-receives only
+        the merged table — O(vocab) per host instead of the O(hosts × vocab)
+        whole-accumulator pickle allgather (reference distributes this as a
+        dask shuffled groupby, nvtabular/ops/categorify.py:1344-1540).
+        Small or string-keyed accumulators take the allgather merge.
+
+        Routing is decided from ALLGATHERED metadata so every host issues
+        the identical collective sequence regardless of local shard skew.
+        """
+        from ..parallel.multihost import allgather_pyobj
+        from ..parallel.sharded_vocab import exchange_partial_counts
+
+        threshold = int(os.environ.get("NVT_VOCAB_EXCHANGE_MIN", 65536))
+
+        local_meta: Dict[str, tuple] = {}
+        extracted: Dict[str, tuple] = {}
+        for key in sorted(state):
+            accum = state[key]
+            if accum._counter is not None and not accum.partials:
+                k, c = accum._counter.extract()
+                extracted[key] = (k, c)
+                flavor = "native"
+                uniq = len(k)
+            elif accum._counter is None and not accum.partials:
+                extracted[key] = (
+                    np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64),
+                )
+                flavor = "empty"
+                uniq = 0
+            else:
+                flavor = "other"
+                uniq = accum.rows
+            local_meta[key] = (
+                flavor,
+                uniq,
+                str(accum._int_dtype) if accum._int_dtype is not None else None,
+                accum.rows,
+                accum.null_count,
+            )
+
+        all_meta = allgather_pyobj(local_meta)
+        exchange_keys: List[str] = []
+        gather_keys: List[str] = []
+        for key in sorted(state):
+            flavors = {m[key][0] for m in all_meta}
+            total_uniq = max(m[key][1] for m in all_meta)
+            if flavors <= {"native", "empty"} and total_uniq >= threshold:
+                exchange_keys.append(key)
+            else:
+                gather_keys.append(key)
+
+        out: Dict[str, _VocabAccum] = {}
+        for key in exchange_keys:
+            k, c = extracted[key]
+            owned_k, owned_c = exchange_partial_counts(k, c)
+            shards = allgather_pyobj((owned_k, owned_c))
+            full_k = np.concatenate([s[0] for s in shards])
+            full_c = np.concatenate([s[1] for s in shards])
+            merged = _VocabAccum()
+            merged.rows = sum(m[key][3] for m in all_meta)
+            merged.null_count = sum(m[key][4] for m in all_meta)
+            dtypes = [m[key][2] for m in all_meta if m[key][2] is not None]
+            if dtypes:
+                merged._int_dtype = np.dtype(dtypes[0])
+                for d in dtypes[1:]:
+                    merged._int_dtype = np.promote_types(merged._int_dtype, np.dtype(d))
+            if _native_counter():
+                from ..serving.native import NativeCounter
+
+                merged._counter = NativeCounter()
+                merged._use_native = True
+                merged._counter.add(full_k, full_c)
+            else:  # pragma: no cover - host without the C++ library
+                import pyarrow as pa
+
+                merged.partials = [pa.table({"value": full_k, "count": full_c})]
+            out[key] = merged
+        if gather_keys:
+            sub = {key: state[key] for key in gather_keys}
+            merged_sub = self.fit_merge(allgather_pyobj(sub))
+            out.update(merged_sub)
+        self.last_fit_reduce = {"exchange": exchange_keys, "gather": gather_keys}
+        return out
+
     def fit_finalize(self, state):
         for key, accum in state.items():
             values, counts, _nulls = accum.finalize()

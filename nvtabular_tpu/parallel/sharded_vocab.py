@@ -23,7 +23,7 @@ backbone of multi-host fit.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
@@ -111,6 +111,129 @@ def sharded_value_counts(
         for v, c in zip(vals, cnts):
             counts[int(v)] = int(c)
     return counts, int(np.asarray(overflow)[0])
+
+
+def _owner_of_int64(keys: np.ndarray, nproc: int) -> np.ndarray:
+    """Deterministic owner process for each int64 key (host-side mix of the
+    same finalizer family as `_mix32`)."""
+    h = keys.astype(np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(nproc)).astype(np.int64)
+
+
+def exchange_partial_counts(
+    keys: np.ndarray, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-process exact reduction of per-host partial (key → count)
+    tables via ONE mesh all-to-all — the TPU-native replacement for
+    pickling whole per-host accumulators through an allgather
+    (O(hosts × vocab) received per host; reference distributes this with a
+    dask shuffled groupby, nvtabular/ops/categorify.py:1344-1540).
+
+    Each process passes its LOCAL unique int64 keys and their partial
+    counts. Keys are hash-partitioned over processes; each (key, count)
+    pair is sent only to its owner, owners sum their received partials.
+    Returns this process's OWNED merged shard (keys, counts) — key sets
+    are disjoint across processes; allgather the small shards to
+    reassemble the full table.
+
+    Capacity is EXACT (per-destination lengths are allgathered up front),
+    so arbitrarily skewed key→owner distributions never overflow — unlike
+    the fixed-capacity single-controller fast path in
+    ``sharded_value_counts``.
+    """
+    import jax
+
+    nproc = jax.process_count()
+    keys = np.asarray(keys, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if nproc == 1:
+        return keys, counts
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rank = jax.process_index()
+    owner = _owner_of_int64(keys, nproc)
+    order = np.argsort(owner, kind="stable")
+    keys_sorted = keys[order]
+    counts_sorted = counts[order]
+    owner_sorted = owner[order]
+    bounds = np.searchsorted(owner_sorted, np.arange(nproc + 1))
+    send_lens = (bounds[1:] - bounds[:-1]).astype(np.int64)  # [nproc]
+
+    # exact capacity: every process learns every (src, dst) length
+    all_lens = np.asarray(
+        multihost_utils.process_allgather(send_lens)
+    ).reshape(nproc, nproc)
+    cap = max(int(all_lens.max()), 1)
+
+    # pack (key, count) int64 pairs as 4 × int32 lanes (device int64 is
+    # unreliable with x64 off); row layout [nproc, cap, 4]
+    send = np.zeros((nproc, cap, 4), dtype=np.int32)
+    for dst in range(nproc):
+        lo, hi = bounds[dst], bounds[dst + 1]
+        if hi <= lo:
+            continue
+        k = keys_sorted[lo:hi]
+        c = counts_sorted[lo:hi]
+        n = hi - lo
+        send[dst, :n, 0] = (k & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        send[dst, :n, 1] = (k >> 32).astype(np.int32)
+        send[dst, :n, 2] = (c & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        send[dst, :n, 3] = (c >> 32).astype(np.int32)
+
+    # one representative device per process → 'hosts' mesh; the all-to-all
+    # rides DCN between hosts (ICI within a slice)
+    per_proc: List[Any] = [None] * nproc
+    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
+        if per_proc[d.process_index] is None:
+            per_proc[d.process_index] = d
+    mesh = Mesh(np.array(per_proc), ("hosts",))
+
+    garr = multihost_utils.host_local_array_to_global_array(send, mesh, P("hosts"))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("hosts"),), out_specs=P("hosts"))
+    def a2a(x):
+        return jax.lax.all_to_all(x, "hosts", split_axis=0, concat_axis=0)
+
+    out = jax.jit(a2a)(garr)
+    recv = np.concatenate(
+        [np.asarray(s.data) for s in out.addressable_shards]
+    )  # [nproc, cap, 4]: row s = what source s sent to THIS process
+
+    pieces_k = []
+    pieces_c = []
+    for src in range(nproc):
+        n = int(all_lens[src, rank])
+        if n == 0:
+            continue
+        rows = recv[src, :n]
+        k = (rows[:, 1].astype(np.int64) << 32) | (
+            rows[:, 0].view(np.uint32).astype(np.int64)
+        )
+        c = (rows[:, 3].astype(np.int64) << 32) | (
+            rows[:, 2].view(np.uint32).astype(np.int64)
+        )
+        pieces_k.append(k)
+        pieces_c.append(c)
+    if not pieces_k:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    all_k = np.concatenate(pieces_k)
+    all_c = np.concatenate(pieces_c)
+    # groupby-sum: each key appears at most once per source process
+    order = np.argsort(all_k, kind="stable")
+    sk = all_k[order]
+    sc = all_c[order]
+    starts = np.empty(len(sk), dtype=bool)
+    starts[0] = True
+    starts[1:] = sk[1:] != sk[:-1]
+    idx = np.nonzero(starts)[0]
+    return sk[idx], np.add.reduceat(sc, idx)
 
 
 def _run_length(sorted_arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,14 +1,16 @@
-"""Worker entrypoint for the real 2-process multi-host fit test.
+"""Worker entrypoint for the real 2-process multi-host fit tests.
 
 Launched by tests/unit/parallel/test_true_multihost.py: each process joins
-the jax.distributed cluster (CPU backend), fits the same workflow over its
-partition shard, and writes its fitted stats to a JSON file for the parent
-test to compare. Exercises the REAL allgather merge path
-(parallel/multihost.py) across process boundaries.
+the jax.distributed cluster (CPU backend with gloo cross-host collectives),
+fits the same workflow over its partition shard, and writes its fitted
+stats to a JSON file for the parent test to compare. Exercises the REAL
+multi-process reductions (parallel/multihost.py allgather AND the
+parallel/sharded_vocab.py all-to-all vocab exchange) across process
+boundaries.
 """
 
+import hashlib
 import json
-import os
 import sys
 
 
@@ -18,10 +20,13 @@ def main():
     num_processes = int(sys.argv[3])
     data_dir = sys.argv[4]
     out_file = sys.argv[5]
+    case = sys.argv[6] if len(sys.argv) > 6 else "small"
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # cross-host collectives (all_to_all) on the CPU backend need gloo
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -34,19 +39,45 @@ def main():
     from nvtabular_tpu import ops
 
     dataset = nvt.Dataset(data_dir)
-    cat_op = ops.Categorify(freq_threshold=2)
-    norm_op = ops.Normalize()
-    wf = nvt.Workflow((["c"] >> cat_op) + (["x"] >> norm_op))
-    wf.fit(dataset)  # FitEngine auto-shards by process and allgathers states
+    result = {"process": process_id}
 
-    vocab = cat_op.vocabs["c"]
-    result = {
-        "process": process_id,
-        "vocab_values": np.asarray(vocab.values_by_code).tolist(),
-        "vocab_counts": np.asarray(vocab.counts).tolist(),
-        "mean": norm_op.means["x"],
-        "std": norm_op.stds["x"],
-    }
+    if case == "small":
+        cat_op = ops.Categorify(freq_threshold=2)
+        norm_op = ops.Normalize()
+        wf = nvt.Workflow((["c"] >> cat_op) + (["x"] >> norm_op))
+        wf.fit(dataset)  # FitEngine auto-shards by process and reduces states
+        vocab = cat_op.vocabs["c"]
+        result.update(
+            {
+                "vocab_values": np.asarray(vocab.values_by_code).tolist(),
+                "vocab_counts": np.asarray(vocab.counts).tolist(),
+                "mean": norm_op.means["x"],
+                "std": norm_op.stds["x"],
+                "reduce_paths": getattr(cat_op, "last_fit_reduce", None),
+            }
+        )
+    elif case == "bigvocab":
+        # >=1M unique power-law keys: must route through the all-to-all
+        # exchange (not the whole-accumulator pickle allgather)
+        cat_op = ops.Categorify()
+        wf = nvt.Workflow(["c"] >> cat_op)
+        wf.fit(dataset)
+        vocab = cat_op.vocabs["c"]
+        values = np.ascontiguousarray(np.asarray(vocab.values_by_code))
+        counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
+        result.update(
+            {
+                "n_vocab": int(len(values)),
+                "values_dtype": str(values.dtype),
+                "values_sha": hashlib.sha256(values.tobytes()).hexdigest(),
+                "counts_sha": hashlib.sha256(counts.tobytes()).hexdigest(),
+                "head_values": values[:20].tolist(),
+                "reduce_paths": getattr(cat_op, "last_fit_reduce", None),
+            }
+        )
+    else:
+        raise SystemExit(f"unknown case {case!r}")
+
     with open(out_file, "w") as f:
         json.dump(result, f)
 

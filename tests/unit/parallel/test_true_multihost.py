@@ -81,3 +81,68 @@ def test_two_process_fit_matches_single(tmp_path):
     )
     np.testing.assert_allclose(norm_op.means["x"], results[0]["mean"], rtol=1e-12)
     np.testing.assert_allclose(norm_op.stds["x"], results[0]["std"], rtol=1e-12)
+    # a 150-key vocab stays on the allgather path, not the exchange
+    assert results[0]["reduce_paths"] == {"exchange": [], "gather": ["c"]}
+
+
+def _run_workers(tmp_path, data_dir, case, timeout=600):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": os.getcwd()}
+    env.pop("XLA_FLAGS", None)
+    procs, outs = [], []
+    for rank in range(2):
+        out_file = str(tmp_path / f"result_{case}_{rank}.json")
+        outs.append(out_file)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, coordinator, str(rank), "2", data_dir, out_file, case],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost workers timed out")
+        assert p.returncode == 0, err.decode()[-2000:]
+    return [json.load(open(f)) for f in outs]
+
+
+@pytest.mark.multichip
+def test_two_process_bigvocab_exchange_matches_single(tmp_path):
+    """>=1M unique POWER-LAW keys: the fit must reduce through the
+    all-to-all (key,count) exchange (parallel/sharded_vocab.py
+    exchange_partial_counts) and match the single-process fit bit-for-bit
+    — the analog of the reference's dask shuffled vocab groupby
+    (nvtabular/ops/categorify.py:1344-1540). Zipf keys make the hash
+    ownership skewed, exercising the exact-capacity sizing."""
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    n = 2_500_000
+    # zipf over a huge id space, then offset so ids look realistic
+    raw = rng.zipf(1.05, n).astype(np.int64)
+    keys = (raw * np.int64(2654435761)) % np.int64(1 << 40)  # spread ids
+    assert len(np.unique(keys)) >= 1_000_000
+    df = pd.DataFrame({"c": keys})
+    data_dir = str(tmp_path / "bigdata")
+    nvt.Dataset(df, part_size=4 * 1024 * 1024).to_parquet(data_dir, output_files=8)
+
+    results = _run_workers(tmp_path, data_dir, "bigvocab")
+    assert results[0]["values_sha"] == results[1]["values_sha"]
+    assert results[0]["counts_sha"] == results[1]["counts_sha"]
+    assert results[0]["reduce_paths"] == {"exchange": ["c"], "gather": []}
+
+    cat_op = ops.Categorify()
+    wf = nvt.Workflow(["c"] >> cat_op)
+    wf.fit(nvt.Dataset(data_dir))
+    vocab = cat_op.vocabs["c"]
+    values = np.ascontiguousarray(np.asarray(vocab.values_by_code))
+    counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
+    assert str(values.dtype) == results[0]["values_dtype"]
+    assert hashlib.sha256(values.tobytes()).hexdigest() == results[0]["values_sha"]
+    assert hashlib.sha256(counts.tobytes()).hexdigest() == results[0]["counts_sha"]
