@@ -38,10 +38,13 @@ TPU-first implementation differences (the whole point):
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+LOG = logging.getLogger("nvtabular_tpu")
 
 from .. import dtypes as md
 from ..dispatch import annotate, hash_array
@@ -300,6 +303,10 @@ class _Vocab:
         "_lut_dev",
         "state_key",
         "_native",
+        "artifact_path",
+        "tier",
+        "_n_values",
+        "int32_safe",
     )
 
     def __init__(self, values_by_code, counts, num_buckets):
@@ -308,6 +315,9 @@ class _Vocab:
         self.num_buckets = max(1, int(num_buckets))
         self.start_index = OOV_OFFSET + self.num_buckets
         self.offset = 0  # single_table shift
+        self.artifact_path = None  # parquet backing (set once artifacts exist)
+        self.tier = "host"  # cat_cache tier: device | host | disk
+        self._n_values = len(values_by_code)
         self.dtype_kind = (
             np.asarray(values_by_code).dtype.kind if len(values_by_code) else "O"
         )
@@ -315,9 +325,18 @@ class _Vocab:
             order = np.argsort(values_by_code, kind="stable")
             self.sorted_values = np.asarray(values_by_code)[order]
             self.sorted_codes = (order + self.start_index).astype(np.int64)
+            sv = self.sorted_values
+            self.int32_safe = len(sv) == 0 or (
+                sv.dtype.kind not in ("i", "u")
+                or (
+                    int(sv.min()) >= np.iinfo(np.int32).min
+                    and int(sv.max()) <= np.iinfo(np.int32).max
+                )
+            )
         else:
             self.sorted_values = None
             self.sorted_codes = None
+            self.int32_safe = True
         self._device_cache = None
         self._pa_value_set = None
         self._lookup = None
@@ -329,7 +348,74 @@ class _Vocab:
     @property
     def size(self) -> int:
         """Total domain size including pad/null/OOV."""
-        return self.start_index + len(self.values_by_code)
+        return self.start_index + self._n_values
+
+    # --- memory hierarchy (reference cat_cache/on_host, categorify.py:169-173)
+    @property
+    def resident(self) -> bool:
+        return self.values_by_code is not None
+
+    def host_nbytes(self) -> int:
+        """Bytes of host memory held by this vocab's lookup structures."""
+        total = 0
+        for arr in (
+            self.values_by_code,
+            self.counts,
+            self.sorted_values,
+            self.sorted_codes,
+        ):
+            if arr is not None and getattr(arr, "nbytes", None) is not None:
+                total += arr.nbytes if arr.dtype.kind != "O" else arr.size * 24
+        lut = self._lookup
+        if lut is not None and getattr(lut, "host_table", None) is not None:
+            total += lut.host_table.nbytes
+        if self._native not in ("unset", None):
+            total += self._n_values * 16  # C++ open-addressing entries
+        return total
+
+    def release_host(self) -> int:
+        """Drop every host/device lookup structure (metadata — size, offset,
+        dtype — survives, so schemas stay valid). Requires a parquet
+        artifact to reload from. Returns bytes released."""
+        if not self.resident or self.artifact_path is None:
+            return 0
+        freed = self.host_nbytes()
+        self.values_by_code = None
+        self.counts = None
+        self.sorted_values = None
+        self.sorted_codes = None
+        self._device_cache = None
+        self._pa_value_set = None
+        self._lookup = None
+        self._lookup_built = False
+        self._lut_dev = None
+        self._native = "unset"
+        return freed
+
+    def ensure_resident(self) -> bool:
+        """Reload values/counts from the parquet artifact if released.
+        Returns True when a disk reload happened."""
+        if self.resident:
+            return False
+        if self.artifact_path is None:
+            raise RuntimeError("vocab released without a parquet artifact")
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self.artifact_path)
+        values = tbl.column(0).to_numpy(zero_copy_only=False)
+        counts = (
+            tbl.column(1).to_numpy(zero_copy_only=False)
+            if tbl.num_columns > 1
+            else np.zeros(len(values), dtype=np.int64)
+        )
+        self.values_by_code = values
+        self.counts = counts
+        self._n_values = len(values)
+        if self.dtype_kind != "O":
+            order = np.argsort(values, kind="stable")
+            self.sorted_values = np.asarray(values)[order]
+            self.sorted_codes = (order + self.start_index).astype(np.int64)
+        return True
 
     # --- host lookup -------------------------------------------------------
     def encode_host(self, values: np.ndarray, validity: Optional[np.ndarray]) -> np.ndarray:
@@ -474,10 +560,14 @@ class _Vocab:
         return table
 
     def _cached_dev(self, arr):
-        """Cache a device constant on the vocab unless we're under a trace."""
+        """Cache a device constant on the vocab unless we're under a trace.
+        Only the 'device' tier pins HBM here — host/disk tiers re-upload so
+        releasing the vocab actually frees accelerator memory."""
         import jax
 
         if isinstance(arr, jax.core.Tracer):
+            return arr
+        if self.tier != "device":
             return arr
         if self._lut_dev is None:
             self._lut_dev = arr
@@ -532,6 +622,13 @@ class Categorify(StatOperator):
         self.vocabs: Dict[str, _Vocab] = {}
         self.categories: Dict[str, str] = {}  # group key -> vocab parquet path
         self._batched_cache = None  # (id(vocabs) token, {kind: (blut, rows)})
+        # vocab memory hierarchy (reference cat_cache/on_host/
+        # cardinality_memory_limit, categorify.py:169-173,1627-1643):
+        # per-key LRU over host-resident lookup structures; disk-tier vocabs
+        # and over-budget vocabs are released to their parquet artifacts
+        self._lru: Dict[str, int] = {}
+        self._lru_tick = 0
+        self.cache_stats = {"hits": 0, "reloads": 0, "releases": 0}
         if vocabs is not None:
             self._load_supplied_vocabs(vocabs)
 
@@ -742,6 +839,18 @@ class Categorify(StatOperator):
                 self.vocabs[key].offset = offset
                 offset += self.vocabs[key].size
         self._write_vocab_artifacts()
+        limit = self._memory_limit_bytes()
+        if limit is not None:
+            total = sum(v.host_nbytes() for v in self.vocabs.values())
+            if total > limit:
+                LOG.warning(
+                    "categorify vocabularies use %d bytes (> %d budget); "
+                    "tables will spill to parquet under LRU",
+                    total,
+                    limit,
+                )
+        self._release_disk_tier()
+        self._enforce_memory_limit()
 
     def _write_vocab_artifacts(self):
         """Persist each vocab as parquet, reference `_save_encodings` analog:
@@ -759,11 +868,17 @@ class Categorify(StatOperator):
             tbl = pa.table({key: arr, f"{key}_size": counts})
             pq.write_table(tbl, path)
             self.categories[key] = path
+            vocab.artifact_path = path
+            vocab.tier = self._tier(key)
 
     def clear(self):
         super().clear()
         self.vocabs = {}
         self.categories = {}
+        self._batched_cache = None
+        self._lru = {}
+        self._lru_tick = 0
+        self.cache_stats = {"hits": 0, "reloads": 0, "releases": 0}
 
     def set_storage_path(self, new_path, copy=False):
         import shutil
@@ -777,7 +892,71 @@ class Categorify(StatOperator):
             else:
                 shutil.move(path, dest)
             new_categories[key] = dest
+            if key in self.vocabs:
+                self.vocabs[key].artifact_path = dest
         self.categories = new_categories
+
+    # ------------------------------------------------------------------
+    # vocab memory hierarchy
+    # ------------------------------------------------------------------
+    def _tier(self, key: str) -> str:
+        tier = _per_column(self.cat_cache, key, "host")
+        return tier if tier in ("device", "host", "disk") else "host"
+
+    def _memory_limit_bytes(self) -> Optional[int]:
+        limit = self.cardinality_memory_limit
+        if limit is None:
+            return None
+        if isinstance(limit, str):
+            from ..io.dataset import _parse_bytes
+
+            return _parse_bytes(limit)
+        return int(limit)
+
+    def _resident_vocab(self, key: str) -> _Vocab:
+        """Fetch a vocab for use NOW: reload from parquet if released, touch
+        the LRU, and release the least-recently-used vocabs past the
+        configured memory budget (cache-hierarchy analog of the reference's
+        per-worker cat_cache fetch, categorify.py:1627-1643)."""
+        vocab = self.vocabs[key]
+        vocab.tier = self._tier(key)
+        if vocab.ensure_resident():
+            self.cache_stats["reloads"] += 1
+            LOG.info("categorify vocab %r reloaded from %s", key, vocab.artifact_path)
+        else:
+            self.cache_stats["hits"] += 1
+        self._lru_tick += 1
+        self._lru[key] = self._lru_tick
+        self._enforce_memory_limit(protect=key)
+        return vocab
+
+    def _enforce_memory_limit(self, protect: Optional[str] = None):
+        limit = self._memory_limit_bytes()
+        if limit is None:
+            return
+        resident = [
+            (self._lru.get(k, 0), k, v)
+            for k, v in self.vocabs.items()
+            if v.resident and v.artifact_path is not None and k != protect
+        ]
+        total = sum(v.host_nbytes() for _, _, v in resident)
+        if protect is not None and protect in self.vocabs:
+            total += self.vocabs[protect].host_nbytes()
+        resident.sort()  # oldest LRU tick first
+        for _, k, v in resident:
+            if total <= limit:
+                break
+            freed = v.release_host()
+            if freed:
+                total -= freed
+                self.cache_stats["releases"] += 1
+                LOG.info("categorify vocab %r released (%d bytes)", k, freed)
+
+    def _release_disk_tier(self):
+        """disk-tier vocabs don't persist between transform calls."""
+        for key, vocab in self.vocabs.items():
+            if self._tier(key) == "disk" and vocab.release_host():
+                self.cache_stats["releases"] += 1
 
     # ------------------------------------------------------------------
     # transform
@@ -792,7 +971,9 @@ class Categorify(StatOperator):
         for kind, (blut, _) in batched.items():
             state[f"categorify:{id(self)}:batched:{kind}"] = blut.concat
         for vkey, vocab in self.vocabs.items():
-            lut = vocab.lookup_struct()
+            if self._tier(vkey) == "disk":
+                continue  # disk tier: no persistent HBM copy
+            lut = self._resident_vocab(vkey).lookup_struct()
             if lut is None:
                 continue
             key = f"categorify:{id(self)}:{vkey}"
@@ -807,28 +988,29 @@ class Categorify(StatOperator):
             if cs.dtype.is_string or not cs.dtype.is_numeric:
                 return False
         for vocab in self.vocabs.values():
-            sv = vocab.sorted_values
-            if sv is not None and sv.dtype.kind in ("i", "u") and len(sv):
-                # device arrays are ≤32-bit (jax x64 off): int keys beyond
-                # int32 range would arrive truncated → host path
-                if sv.min() < np.iinfo(np.int32).min or sv.max() > np.iinfo(np.int32).max:
-                    return False
+            # device arrays are ≤32-bit (jax x64 off): int keys beyond
+            # int32 range would arrive truncated → host path.
+            # (int32_safe is recorded at build so released vocabs answer too)
+            if not vocab.int32_safe:
+                return False
         return True
 
     @annotate("Categorify.transform")
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         out = TableBatch()
-        jobs: List[Tuple[str, "_Vocab", Column]] = []  # preserve output order
+        # jobs carry the vocab KEY, not the vocab: each encode path
+        # materializes via _resident_vocab at its point of use, so the LRU
+        # budget can spill vocabs between columns within one batch
+        jobs: List[Tuple[str, str, Column]] = []  # preserve output order
         for key, members in self._groups(col_selector):
             if len(members) > 1 and self.encode_type == "combo":
-                vocab = self.vocabs[key]
+                vocab = self._resident_vocab(key)
                 values, validity = _combo_values(batch.to_host(), members)
                 codes = vocab.encode_host(values, validity)
                 out[key] = Column(codes.astype(self._out_dtype_np()))
             else:
                 for mcol in members:
-                    vocab = self.vocabs[self._vocab_key(key, members, mcol)]
-                    jobs.append((mcol, vocab, batch[mcol]))
+                    jobs.append((mcol, self._vocab_key(key, members, mcol), batch[mcol]))
         # Column-batched device lookup: every eligible column encodes through
         # ONE gather (direct group) + TWO row-gathers (cuckoo group) — the
         # per-column loop would emit 26 separate gather ops and bloat the
@@ -837,10 +1019,11 @@ class Categorify(StatOperator):
         # host fast path: thread-parallel C++ hash-map encodes (tables are
         # read-only; ctypes releases the GIL during the native call)
         batched.update(self._encode_batched_host_native(jobs, skip=batched))
-        for name, vocab, col in jobs:
+        for name, vkey, col in jobs:
             if name in batched:
                 codes = batched[name]
             else:
+                vocab = self._resident_vocab(vkey)
                 m = xnp(col.values)
                 if m is np:
                     codes = vocab.encode_host(
@@ -854,6 +1037,7 @@ class Categorify(StatOperator):
             # multihot: re-wrap encoded flat values with original offsets
             # (reference encode_list_column, categorify.py:1802-1803)
             out[name] = Column(codes, col.offsets)
+        self._release_disk_tier()
         return out
 
     def _get_batched(self):
@@ -862,12 +1046,18 @@ class Categorify(StatOperator):
         agree. Returns {kind: (batched_lut, {vocab_key: row_index})}."""
         from .lookup import BatchedCuckoo, BatchedDirect, DirectLookup
 
+        if self._memory_limit_bytes() is not None:
+            # the batched concat duplicates every table — incompatible with
+            # a bounded vocab memory budget; solo paths stay LRU-managed
+            return {}
         token = tuple(sorted((k, id(v)) for k, v in self.vocabs.items()))
         if self._batched_cache is not None and self._batched_cache[0] == token:
             return self._batched_cache[1]
         by_kind: Dict[str, List[Tuple[str, Any]]] = {"direct": [], "cuckoo": []}
         for vkey in sorted(self.vocabs):
-            vocab = self.vocabs[vkey]
+            if self._tier(vkey) == "disk":
+                continue  # disk tier columns encode solo (no duplicate copy)
+            vocab = self._resident_vocab(vkey)
             lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
             if lut is None:
                 continue
@@ -888,12 +1078,13 @@ class Categorify(StatOperator):
         columns. Returns {col_name: codes int32}; empty when the native
         library is unavailable."""
         work = []
-        for name, vocab, col in jobs:
+        for name, vkey, col in jobs:
             if name in skip or xnp(col.values) is not np:
                 continue
             values = np.asarray(col.values)
             if values.dtype.kind not in ("i", "u"):
                 continue
+            vocab = self._resident_vocab(vkey)
             table = vocab.native_table()
             if table is None:
                 continue
@@ -923,56 +1114,63 @@ class Categorify(StatOperator):
         from ..dag.device_state import get_device_state
         from .lookup import DirectLookup
 
-        vocab_key_by_id = {id(v): k for k, v in self.vocabs.items()}
         batched = self._get_batched()
-        groups: Dict[Tuple, List[Tuple[str, "_Vocab", Column]]] = {}
-        for name, vocab, col in jobs:
+        if not batched:
+            return {}
+        groups: Dict[Tuple, List[Tuple[str, str, "_Vocab", Column]]] = {}
+        for name, vkey, col in jobs:
             if xnp(col.values) is np or col.is_list:
                 continue
+            # only vocab keys present in a batched structure participate;
+            # disk-tier (and budget-spilled) columns take the solo path
+            if not any(vkey in row_index for _, row_index in batched.values()):
+                continue
+            vocab = self._resident_vocab(vkey)
             lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
             if lut is None:
                 continue
             kind = "direct" if isinstance(lut, DirectLookup) else "cuckoo"
             groups.setdefault((kind, col.values.shape, str(col.values.dtype)), []).append(
-                (name, vocab, col)
+                (name, vkey, vocab, col)
             )
         result: Dict[str, Any] = {}
         for (kind, shape, _dt), items in groups.items():
-            if len(items) < 2 or kind not in batched:
+            if kind not in batched:
+                continue
+            blut, row_index = batched[kind]
+            items = [it for it in items if it[1] in row_index]
+            if len(items) < 2:
                 continue  # single column: per-column path is already one gather
             import jax.numpy as jnp
 
-            blut, row_index = batched[kind]
-            sel = np.array(
-                [row_index[vocab_key_by_id[id(v)]] for _, v, _ in items], dtype=np.int64
-            )
+            sel = np.array([row_index[vk] for _, vk, _, _ in items], dtype=np.int64)
             state_key = f"categorify:{id(self)}:batched:{kind}"
             concat_dev = get_device_state(state_key)
             if concat_dev is None:
                 concat_dev = jnp.asarray(blut.concat)
-            vals = jnp.stack([c.values for _, _, c in items]).astype(jnp.int32)
+            vals = jnp.stack([c.values for _, _, _, c in items]).astype(jnp.int32)
             miss = jnp.stack(
                 [jnp.broadcast_to(v._oov_codes_dev(c.values), c.values.shape)
-                 for _, v, c in items]
+                 for _, _, v, c in items]
             )
             codes = blut.encode_dev(concat_dev, vals, miss, sel=sel)
             # null handling + single_table offsets, vectorized
             nulls = jnp.zeros(vals.shape, dtype=bool)
-            any_valid = any(c.validity is not None for _, _, c in items)
+            any_valid = any(c.validity is not None for _, _, _, c in items)
             if any_valid:
                 nulls = jnp.stack(
                     [
                         (~c.validity) if c.validity is not None
                         else jnp.zeros(c.values.shape, dtype=bool)
-                        for _, _, c in items
+                        for _, _, _, c in items
                     ]
                 )
                 codes = jnp.where(nulls, NULL_INDEX, codes)
             offsets = jnp.asarray(
-                np.array([v.offset for _, v, _ in items], dtype=np.int32)
+                np.array([v.offset for _, _, v, _ in items], dtype=np.int32)
             )[:, None]
             codes = (codes + offsets).astype(jnp.dtype(self._out_dtype_np()))
-            for i, (name, _, _) in enumerate(items):
+            for i, (name, _, _, _) in enumerate(items):
                 result[name] = codes[i]
         return result
 
@@ -1105,6 +1303,8 @@ class Categorify(StatOperator):
             )
             vocab = _Vocab(values, counts, nbs.get(key, 1))
             vocab.offset = offs.get(key, 0)
+            vocab.artifact_path = path
+            vocab.tier = self._tier(key)
             self.vocabs[key] = vocab
         self.fitted = True
 
