@@ -32,3 +32,20 @@ def get_device_state(key: str) -> Optional[Any]:
     if state is None:
         return None
     return state.get(key)
+
+
+@contextlib.contextmanager
+def row_offset_scope(lanes):
+    """Traced (lo, hi) uint32 lanes of the batch's global row offset —
+    set by the JitExecutor during tracing so ops needing absolute row
+    indices (k-fold assignment) read an ARGUMENT, not a baked constant."""
+    prev = getattr(_local, "row_offset", None)
+    _local.row_offset = lanes
+    try:
+        yield
+    finally:
+        _local.row_offset = prev
+
+
+def get_row_offset_dev():
+    return getattr(_local, "row_offset", None)

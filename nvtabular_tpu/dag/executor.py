@@ -35,7 +35,7 @@ import numpy as np
 from ..schema import Schema
 from ..table import Column, TableBatch, concat_columns
 from .base_operator import BaseOperator, StatOperator
-from .device_state import device_state_scope
+from .device_state import device_state_scope, row_offset_scope
 from .graph import Graph, postorder_iter_nodes
 from .node import Node
 from .ops import ConcatColumns, SelectionOp
@@ -139,13 +139,17 @@ class JitExecutor(LocalExecutor):
 
         ndev = int(self.mesh.shape[self.data_axis])
         for v in stacked.values():
+            if v.ndim == 0:
+                continue  # scalars (row offset lanes) replicate
             rows = v.shape[-1]
             if rows % ndev != 0:
                 return None
         return {
             k: NamedSharding(
                 self.mesh,
-                P(self.data_axis) if v.ndim == 1 else P(None, self.data_axis),
+                P()
+                if v.ndim == 0
+                else (P(self.data_axis) if v.ndim == 1 else P(None, self.data_axis)),
             )
             for k, v in stacked.items()
         }
@@ -283,8 +287,12 @@ class JitExecutor(LocalExecutor):
             def run(stacked_dict, state_dict):
                 array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
-                b.row_offset = 0  # traced constant; device ops must not use absolute offsets
-                with device_state_scope(state_dict):
+                b.row_offset = 0  # absolute offsets ride as traced lanes below
+                lanes = (
+                    stacked_dict["__row_offset_lo__"],
+                    stacked_dict["__row_offset_hi__"],
+                )
+                with device_state_scope(state_dict), row_offset_scope(lanes):
                     inner_memo: Dict[int, TableBatch] = {}
                     ex = LocalExecutor()
                     outs = {}
@@ -395,11 +403,17 @@ class JitExecutor(LocalExecutor):
 
     def _prepare(self, batch: TableBatch, output_node: Node):
         """Host-side work only (thread-safe): pad to the row bucket and pack
-        same-dtype columns into a few large stacks."""
+        same-dtype columns into a few large stacks. The batch's global row
+        offset rides along as two uint32 lanes — a traced ARGUMENT, so ops
+        that need absolute row indices (k-fold assignment) work inside the
+        fused program without forcing a recompile per partition."""
         n_rows = batch.num_rows
         host = batch.to_host()
         padded, meta = (_pad_batch(host) if self.bucket else (host, None))
         stacked, layout = _stack_batch(padded)
+        off = int(batch.row_offset or 0)
+        stacked["__row_offset_lo__"] = np.uint32(off & 0xFFFFFFFF)
+        stacked["__row_offset_hi__"] = np.uint32(off >> 32)
         return layout, stacked, n_rows, batch.row_offset, meta
 
     def stage(self, batch: TableBatch, output_node: Node):
@@ -433,8 +447,15 @@ class JitExecutor(LocalExecutor):
             def run(stacked_dict, state_dict):
                 array_dict = _unstack_arrays(stacked_dict, layout)
                 b = TableBatch.from_dict_of_arrays(array_dict)
-                b.row_offset = 0  # traced constant; device ops must not use absolute offsets
-                with device_state_scope(state_dict):
+                # absolute offsets ride as TRACED uint32 lanes (ops needing
+                # global row ids — k-fold assignment — read row_offset_dev);
+                # the int row_offset stays 0 so nothing bakes a constant in
+                b.row_offset = 0
+                lanes = (
+                    stacked_dict["__row_offset_lo__"],
+                    stacked_dict["__row_offset_hi__"],
+                )
+                with device_state_scope(state_dict), row_offset_scope(lanes):
                     out = LocalExecutor().transform_batch(b, output_node)
                 return out.to_dict_of_arrays()
 

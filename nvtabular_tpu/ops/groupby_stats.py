@@ -41,6 +41,18 @@ def combine_keys(arrays: Sequence[np.ndarray]) -> np.ndarray:
     return combined.astype(object)
 
 
+def hash_multi_key(arrays: Sequence, seed: int):
+    """Combined 32-bit hash of multiple int key columns — bit-identical on
+    host (numpy int64) and device (jnp int32) for int32-range keys, so a
+    lookup table built host-side can be probed inside a jitted program."""
+    from ..dispatch import hash_array, hash_lanes
+
+    h = hash_array(arrays[0], seed=seed)
+    for i, a in enumerate(arrays[1:], start=1):
+        h = hash_lanes(h, hash_array(a, seed=seed + 31 * i), seed=seed + 17)
+    return h
+
+
 class GroupbyStatsAccum:
     """Streaming (key → aggregates) accumulator for one key group."""
 
@@ -260,6 +272,102 @@ class KeyedStats:
                 self._lut = build_lookup(keys, np.arange(len(keys), dtype=np.int32))
         self._lut_built = True
         return self._lut
+
+    def hashed_lookup_struct(self):
+        """Multi-int-key device lookup: groups are keyed by a combined
+        32-bit hash (exactly collision-checked on the FITTED keys at build
+        — any clash → None → host path), probed with a SECOND independent
+        hash per group so a transform-time false join needs a simultaneous
+        64-bit collision (~2^-32 per unseen row; the reference does this
+        join exactly via cudf merge, target_encoding.py:301-384 — here the
+        hash pair keeps multi-key groups on the gather fast path).
+
+        Returns (lut, h2_by_group_padded) or None. Keys must be ints within
+        int32 (device arrays are 32-bit with jax x64 off)."""
+        if getattr(self, "_hashed_built", False):
+            return self._hashed
+        self._hashed = None
+        self._hashed_built = True
+        if len(self.key_cols) < 2 or self.num_groups == 0:
+            return self._hashed
+        arrays = [np.asarray(self.key_arrays[k]) for k in self.key_cols]
+        for a in arrays:
+            if a.dtype.kind not in ("i", "u") or len(a) == 0:
+                return self._hashed
+            if a.min() < np.iinfo(np.int32).min or a.max() > np.iinfo(np.int32).max:
+                return self._hashed
+        h1 = hash_multi_key(arrays, seed=0xA1)
+        if len(np.unique(h1)) != len(h1):
+            return self._hashed  # fitted-key collision: stay on host
+        h2 = hash_multi_key(arrays, seed=0xB7)
+        from .lookup import build_lookup
+
+        # uint32 → int32 wraps identically on host astype and device convert
+        lut = build_lookup(
+            h1.astype(np.int64).astype(np.int32).astype(np.int64),
+            np.arange(len(h1), dtype=np.int32),
+        )
+        if lut is None:
+            return self._hashed
+        h2_padded = np.append(h2.astype(np.uint32), np.uint32(0))
+        self._hashed = (lut, h2_padded)
+        return self._hashed
+
+    def device_group_index(self, state_prefix: str, cols):
+        """Device row → group-row index (miss slot = num_groups): one
+        gather chain through the single-key lut, or the verified multi-key
+        hash pair from hashed_lookup_struct. ``cols`` are the key Columns
+        in key_cols order; ``state_prefix`` locates the published device
+        copies ("{prefix}:lut" / "{prefix}:hlut" / "{prefix}:h2")."""
+        import jax.numpy as jnp
+
+        from ..dag.device_state import get_device_state
+
+        miss = jnp.int32(self.num_groups)
+        if len(cols) == 1:
+            lut = self.lookup_struct()
+            table_dev = get_device_state(f"{state_prefix}:lut")
+            if table_dev is None:
+                table_dev = jnp.asarray(lut.host_table)
+            col = cols[0]
+            idx = lut.encode_dev(table_dev, col.values, miss)
+            if col.validity is not None:
+                idx = jnp.where(col.validity, idx, miss)
+            return idx
+        lut, h2_by_group = self.hashed_lookup_struct()
+        table_dev = get_device_state(f"{state_prefix}:hlut")
+        h2_dev = get_device_state(f"{state_prefix}:h2")
+        if table_dev is None:
+            table_dev = jnp.asarray(lut.host_table)
+        if h2_dev is None:
+            h2_dev = jnp.asarray(h2_by_group)
+        arrays = [c.values for c in cols]
+        h1 = hash_multi_key(arrays, seed=0xA1).astype(jnp.int32)
+        idx = lut.encode_dev(table_dev, h1, miss)
+        # second-hash verification: a false join needs a 64-bit collision
+        verified = jnp.take(h2_dev, idx) == hash_multi_key(arrays, seed=0xB7)
+        idx = jnp.where(verified, idx, miss)
+        for c in cols:  # null keys never join
+            if c.validity is not None:
+                idx = jnp.where(c.validity, idx, miss)
+        return idx
+
+    def device_state_entries(self, state_prefix: str):
+        """{key: host array} for device_group_index's published tables, or
+        empty when no device lookup exists for this key set."""
+        single = self.lookup_struct()
+        if single is not None:
+            return {f"{state_prefix}:lut": single.host_table}
+        hashed = self.hashed_lookup_struct()
+        if hashed is not None:
+            return {
+                f"{state_prefix}:hlut": hashed[0].host_table,
+                f"{state_prefix}:h2": hashed[1],
+            }
+        return {}
+
+    def device_ready(self) -> bool:
+        return self.lookup_struct() is not None or self.hashed_lookup_struct() is not None
 
     def padded_stat(self, stat: str, default, dtype=np.float32) -> np.ndarray:
         """Stat array with a miss slot appended at index num_groups.

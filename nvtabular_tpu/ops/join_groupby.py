@@ -178,8 +178,9 @@ class JoinGroupby(StatOperator):
 
     # --- transform ---------------------------------------------------------
     def is_jit_safe(self, col_selector, input_schema):
-        """Device path: single-int-key groups whose fitted stats admit a
-        gather lookup (see KeyedStats.lookup_struct)."""
+        """Device path: int-key groups whose fitted stats admit a gather
+        lookup — single keys via KeyedStats.lookup_struct, multi-key groups
+        via the collision-checked hash pair (hashed_lookup_struct)."""
         if not self.fitted or input_schema is None:
             return False
         for cs in input_schema:
@@ -187,19 +188,17 @@ class JoinGroupby(StatOperator):
                 return False
         for group in self._groups(col_selector):
             keyed = self.keyed.get(self._group_name(group))
-            if keyed is None or keyed.lookup_struct() is None:
+            if keyed is None or not keyed.device_ready():
                 return False
         return True
 
     def device_state(self):
         state = {}
         for name, keyed in self.keyed.items():
-            lut = keyed.lookup_struct()
-            if lut is None:
+            entries = keyed.device_state_entries(f"joingroupby:{id(self)}:{name}")
+            if not entries:
                 continue
-            state[f"joingroupby:{id(self)}:{name}:lut"] = (
-                lut.host_table
-            )
+            state.update(entries)
             for stat in self.stats:
                 if stat == "count":
                     state[f"joingroupby:{id(self)}:{name}:__rows"] = keyed.padded_stat(
@@ -221,10 +220,9 @@ class JoinGroupby(StatOperator):
         for group in self._groups(col_selector):
             name = self._group_name(group)
             keyed = self.keyed[name]
-            lut = keyed.lookup_struct() if len(group) == 1 else None
-            col = batch[group[0]] if len(group) == 1 else None
-            if lut is not None and col is not None and xnp(col.values) is not np:
-                self._transform_device(out, name, keyed, lut, col)
+            cols = [batch[k] for k in group]
+            if keyed.device_ready() and all(xnp(c.values) is not np for c in cols):
+                self._transform_device(out, name, keyed, cols)
                 continue
             if host is None:
                 host = batch.to_host()
@@ -245,20 +243,15 @@ class JoinGroupby(StatOperator):
                         out[f"{name}_{cont}_{stat}"] = Column(vals.astype(dtype))
         return out
 
-    def _transform_device(self, out: TableBatch, name: str, keyed, lut, col):
-        """Gather-based broadcast join: key → stats-row index (1-2 gathers)
-        then one float gather per stat column."""
+    def _transform_device(self, out: TableBatch, name: str, keyed, cols):
+        """Gather-based broadcast join: key(s) → stats-row index (1-2
+        gathers; multi-key via the verified hash pair) then one float
+        gather per stat column."""
         import jax.numpy as jnp
 
         from ..dag.device_state import get_device_state
 
-        miss = jnp.int32(keyed.num_groups)  # pad slot of padded_stat
-        table_dev = get_device_state(f"joingroupby:{id(self)}:{name}:lut")
-        if table_dev is None:
-            table_dev = jnp.asarray(lut.host_table)
-        idx = lut.encode_dev(table_dev, col.values, miss)
-        if col.validity is not None:
-            idx = jnp.where(col.validity, idx, miss)
+        idx = keyed.device_group_index(f"joingroupby:{id(self)}:{name}", cols)
 
         def stat_array(key, default):
             arr = get_device_state(f"joingroupby:{id(self)}:{name}:{key}")

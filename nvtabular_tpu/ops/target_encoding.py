@@ -36,6 +36,20 @@ def _fold_ids(row_offset: int, n: int, kfold: int, seed: int) -> np.ndarray:
     return (hash_lanes(lo, hi, seed) % np.uint32(kfold)).astype(np.int64)
 
 
+def _fold_ids_dev(lanes, n: int, kfold: int, seed: int):
+    """Device fold assignment from traced (lo, hi) row-offset lanes —
+    bit-identical to the host `_fold_ids` (same uint32 lane hash), with a
+    32-bit carry so >2^32-row datasets assign correctly."""
+    import jax.numpy as jnp
+
+    lo_off, hi_off = lanes
+    i = jnp.arange(n, dtype=jnp.uint32)
+    lo = (lo_off.astype(jnp.uint32) + i).astype(jnp.uint32)
+    carry = (lo < lo_off.astype(jnp.uint32)).astype(jnp.uint32)
+    hi = hi_off.astype(jnp.uint32) + carry
+    return (hash_lanes(lo, hi, seed) % np.uint32(kfold)).astype(jnp.int32)
+
+
 class TargetEncoding(StatOperator):
     jit_safe = False
 
@@ -197,6 +211,7 @@ class TargetEncoding(StatOperator):
         super().clear()
         self.fold_stats, self.overall_stats, self.categories = {}, {}, {}
         self.means = dict(self.target_mean or {})
+        self._fold_mats = {}
 
     def set_storage_path(self, new_path, copy=False):
         import os
@@ -211,56 +226,92 @@ class TargetEncoding(StatOperator):
         self.categories = new_cats
 
     # --- transform -----------------------------------------------------------
+    # Device design (reference target_encoding.py:301-384 does these joins
+    # via cudf merge): single-key groups gather through the Categorify
+    # lookup machinery; MULTI-key groups through a collision-checked hash
+    # pair (KeyedStats.hashed_lookup_struct); K-FOLD OOF subtracts a
+    # [kfold, groups+1] in-fold matrix gathered at (fold, group) — fold ids
+    # come from the traced global row offset, so the whole encoding stays
+    # inside the fused jit program.
+
+    def _group_device_ready(self, group: List[str]) -> bool:
+        keyed = self.overall_stats.get(self._group_tag(group))
+        if keyed is None or not keyed.device_ready():
+            return False
+        if self.kfold > 1 and self._group_tag(group) not in self.fold_stats:
+            return False
+        return True
+
     def is_jit_safe(self, col_selector, input_schema):
-        """Device path: only the fold-free encoding (kfold<=1 — serving /
-        new-data transform). K-fold OOF transforms stay host (fold ids come
-        from the host row-offset RNG)."""
-        if not self.fitted or self.kfold > 1 or input_schema is None:
+        if not self.fitted or input_schema is None:
             return False
         for cs in input_schema:
             if cs.dtype.is_string or not cs.dtype.is_numeric:
                 return False
-        for group in self._groups(col_selector):
-            keyed = self.overall_stats.get(self._group_tag(group))
-            if len(group) != 1 or keyed is None or keyed.lookup_struct() is None:
-                return False
-        return True
+        return all(self._group_device_ready(g) for g in self._groups(col_selector))
+
+    def _fold_matrix(self, tag: str, stat_key: str) -> np.ndarray:
+        """[kfold, num_groups+1] in-fold stat matrix aligned to the OVERALL
+        group row index (pad slot = all-zero column for misses)."""
+        cache = getattr(self, "_fold_mats", None)
+        if cache is None:
+            cache = self._fold_mats = {}
+        key = (tag, stat_key)
+        if key not in cache:
+            overall = self.overall_stats[tag]
+            fkeyed = self.fold_stats[tag]
+            mat = np.zeros((self.kfold, overall.num_groups + 1), dtype=np.float32)
+            folds = np.asarray(fkeyed.key_arrays[self.fold_name]).astype(np.int64)
+            group_arrays = [
+                np.asarray(fkeyed.key_arrays[k])
+                for k in fkeyed.key_cols
+                if k != self.fold_name
+            ]
+            idx, found = overall.row_indices(group_arrays)
+            vals = np.asarray(fkeyed.stats[stat_key], dtype=np.float64)
+            mat[folds[found], idx[found]] = vals[found]
+            cache[key] = mat
+        return cache[key]
 
     def device_state(self):
-        if self.kfold > 1:
-            return {}
         state = {}
         for tag, keyed in self.overall_stats.items():
-            lut = keyed.lookup_struct()
-            if lut is None:
+            entries = keyed.device_state_entries(f"te:{id(self)}:{tag}")
+            if not entries:
                 continue
-            state[f"te:{id(self)}:{tag}:lut"] = (
-                lut.host_table
-            )
+            state.update(entries)
             for t in self.target:
                 state[f"te:{id(self)}:{tag}:{t}.sum"] = keyed.padded_stat(f"{t}.sum", 0.0)
                 state[f"te:{id(self)}:{tag}:{t}.count"] = keyed.padded_stat(f"{t}.count", 0.0)
+                if self.kfold > 1:
+                    state[f"te:{id(self)}:{tag}:{t}.fsum"] = self._fold_matrix(tag, f"{t}.sum")
+                    state[f"te:{id(self)}:{tag}:{t}.fcnt"] = self._fold_matrix(tag, f"{t}.count")
         return state
 
     def _transform_device(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
         import jax.numpy as jnp
 
-        from ..dag.device_state import get_device_state
+        from ..dag.device_state import get_device_state, get_row_offset_dev
 
         out = TableBatch()
         dtype = md.to_numpy(self.out_dtype) if self.out_dtype else np.float32
+        n = batch.num_rows
+        folds = None
+        if self.kfold > 1:
+            lanes = get_row_offset_dev()
+            if lanes is None:  # eager device batch: host offset is concrete
+                lanes = (
+                    jnp.uint32((batch.row_offset or 0) & 0xFFFFFFFF),
+                    jnp.uint32((batch.row_offset or 0) >> 32),
+                )
+            folds = _fold_ids_dev(lanes, n, self.kfold, self.fold_seed)
         for gi, group in enumerate(self._groups(col_selector)):
             tag = self._group_tag(group)
             keyed = self.overall_stats[tag]
-            lut = keyed.lookup_struct()
-            col = batch[group[0]]
-            miss = jnp.int32(keyed.num_groups)
-            table_dev = get_device_state(f"te:{id(self)}:{tag}:lut")
-            if table_dev is None:
-                table_dev = jnp.asarray(lut.host_table)
-            idx = lut.encode_dev(table_dev, col.values, miss)
-            if col.validity is not None:
-                idx = jnp.where(col.validity, idx, miss)
+            idx = keyed.device_group_index(
+                f"te:{id(self)}:{tag}", [batch[k] for k in group]
+            )
+            stride = keyed.num_groups + 1
             for ti, t in enumerate(self.target):
                 mean = jnp.float32(self.means.get(t, 0.0))
                 s_arr = get_device_state(f"te:{id(self)}:{tag}:{t}.sum")
@@ -271,6 +322,16 @@ class TargetEncoding(StatOperator):
                     c_arr = jnp.asarray(keyed.padded_stat(f"{t}.count", 0.0))
                 s = jnp.take(s_arr, idx)
                 c = jnp.take(c_arr, idx)
+                if folds is not None:
+                    fs = get_device_state(f"te:{id(self)}:{tag}:{t}.fsum")
+                    fc = get_device_state(f"te:{id(self)}:{tag}:{t}.fcnt")
+                    if fs is None:
+                        fs = jnp.asarray(self._fold_matrix(tag, f"{t}.sum"))
+                    if fc is None:
+                        fc = jnp.asarray(self._fold_matrix(tag, f"{t}.count"))
+                    flat = folds * stride + idx  # (fold, group) gather
+                    s = s - jnp.take(fs.reshape(-1), flat)
+                    c = c - jnp.take(fc.reshape(-1), flat)
                 denom = c + self.p_smooth
                 te = jnp.where(
                     denom > 0,
@@ -280,21 +341,21 @@ class TargetEncoding(StatOperator):
                 out[self._te_name(gi, group, ti, t)] = Column(
                     te.astype(jnp.dtype(dtype))
                 )
+        if folds is not None and not self.drop_folds:
+            out[self.fold_name] = Column(folds.astype(jnp.int32))
         return out
 
     def _device_eligible(self, col_selector, batch: TableBatch) -> bool:
         from ..table import xnp
 
-        if self.kfold > 1 or not self.fitted:
+        if not self.fitted:
             return False
         for group in self._groups(col_selector):
-            if len(group) != 1:
+            if not self._group_device_ready(group):
                 return False
-            keyed = self.overall_stats.get(self._group_tag(group))
-            if keyed is None or keyed.lookup_struct() is None:
-                return False
-            if xnp(batch[group[0]].values) is np:
-                return False
+            for k in group:
+                if xnp(batch[k].values) is np:
+                    return False
         return True
 
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:

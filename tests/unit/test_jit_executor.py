@@ -100,3 +100,84 @@ def test_jit_multihot_categorify_matches_host():
         np.asarray(jit_out["i"].values), np.asarray(host_out["i"].values)
     )
     assert jit_out["mh"].to_pylist() == host_out["mh"].to_pylist()
+
+
+def test_jit_kfold_target_encoding_matches_host():
+    """K-fold OOF TargetEncoding stays INSIDE the fused jit program: fold
+    ids come from the traced global row offset, the OOF merge is a gather
+    over [kfold, groups+1] in-fold matrices (reference target_encoding.py:
+    301-384 does this join via cudf merge on the GPU cluster)."""
+    rng = np.random.default_rng(5)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "c": rng.integers(0, 40, n).astype(np.int64),
+            "label": rng.random(n),
+        }
+    )
+    te = ops.TargetEncoding("label", kfold=3, p_smooth=10)
+    graph = ["c"] >> te
+    ex = JitExecutor(jit_min_rows=0)
+    wf = nvt.Workflow(graph, executor=ex)
+    ds = nvt.Dataset(df, part_size=16 * 1024)  # several partitions → offsets
+    wf.fit(ds)
+
+    # the graph must be jittable (TE no longer forces the host path)
+    batch = ds.to_table()
+    assert ex.graph_is_jittable(wf.graph.output_node, batch)
+
+    jit_out = wf.transform(ds).to_table().to_pandas()
+    host_out = nvt.Workflow(graph, executor=LocalExecutor()).transform(ds).to_table().to_pandas()
+    np.testing.assert_allclose(
+        jit_out["TE_c_label"], host_out["TE_c_label"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_jit_multikey_te_and_joingroupby_match_host():
+    """Multi-int-key TE/JoinGroupby groups ride the collision-checked hash
+    pair lookup and stay on the device path."""
+    rng = np.random.default_rng(6)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 20, n).astype(np.int64),
+            "b": rng.integers(0, 15, n).astype(np.int64),
+            "y": rng.random(n),
+        }
+    )
+    te = ops.TargetEncoding("y", kfold=2, p_smooth=5)
+    jg = ops.JoinGroupby(cont_cols=["y"], stats=["count", "mean"])
+    graph = ([["a", "b"]] >> te) + ([["a", "b"]] >> jg)
+    ex = JitExecutor(jit_min_rows=0)
+    wf = nvt.Workflow(graph, executor=ex)
+    ds = nvt.Dataset(df, part_size=16 * 1024)
+    wf.fit(ds)
+
+    batch = ds.to_table()
+    assert ex.graph_is_jittable(wf.graph.output_node, batch)
+
+    jit_out = wf.transform(ds).to_table().to_pandas()
+    host_out = nvt.Workflow(graph, executor=LocalExecutor()).transform(ds).to_table().to_pandas()
+    for col in host_out.columns:
+        np.testing.assert_allclose(
+            np.asarray(jit_out[col], dtype=np.float64),
+            np.asarray(host_out[col], dtype=np.float64),
+            rtol=1e-4,
+            atol=1e-5,
+            err_msg=col,
+        )
+
+
+def test_jit_te_unseen_keys_get_prior_mean():
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {"c": rng.integers(0, 10, n).astype(np.int64), "y": rng.random(n)}
+    )
+    te = ops.TargetEncoding("y", kfold=1, p_smooth=0)
+    wf = nvt.Workflow(["c"] >> te, executor=JitExecutor(jit_min_rows=0))
+    ds = nvt.Dataset(df)
+    wf.fit(ds)
+    probe = pd.DataFrame({"c": np.full(2048, 999, dtype=np.int64), "y": np.zeros(2048)})
+    out = wf.transform(nvt.Dataset(probe)).to_table().to_pandas()
+    np.testing.assert_allclose(out["TE_c_y"], df["y"].mean(), rtol=1e-5)
