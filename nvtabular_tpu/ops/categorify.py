@@ -876,6 +876,7 @@ class Categorify(StatOperator):
         self.vocabs = {}
         self.categories = {}
         self._batched_cache = None
+        self._combo_luts = {}
         self._lru = {}
         self._lru_tick = 0
         self.cache_stats = {"hits": 0, "reloads": 0, "releases": 0}
@@ -979,6 +980,11 @@ class Categorify(StatOperator):
             key = f"categorify:{id(self)}:{vkey}"
             vocab.state_key = key
             state[key] = lut.host_table
+        for ckey, struct in (getattr(self, "_combo_luts", None) or {}).items():
+            if struct is None:
+                continue
+            state[f"categorify:{id(self)}:combo:{ckey}:hlut"] = struct[0].host_table
+            state[f"categorify:{id(self)}:combo:{ckey}:h2"] = struct[1]
         return state
 
     def is_jit_safe(self, col_selector, input_schema):
@@ -993,7 +999,100 @@ class Categorify(StatOperator):
             # (int32_safe is recorded at build so released vocabs answer too)
             if not vocab.int32_safe:
                 return False
+        if self.encode_type == "combo" and col_selector is not None:
+            for key, members in self._groups(col_selector):
+                if len(members) > 1 and self._combo_device_struct(key) is None:
+                    return False  # crossed key needs its hash-pair lookup
         return True
+
+    def _combo_device_struct(self, key: str):
+        """(lut, h2_padded, width) encoding hashed int member TUPLES →
+        vocab row index for combo groups, or None (host path). The fitted
+        combo values are str-joined member tuples; all-int tuples parse
+        back losslessly, hash into a collision-checked pair (same scheme as
+        KeyedStats.hashed_lookup_struct), and the crossed column then stays
+        inside the fused device program."""
+        cache = getattr(self, "_combo_luts", None)
+        if cache is None:
+            cache = self._combo_luts = {}
+        if key in cache:
+            return cache[key]
+        result = None
+        vocab = self.vocabs.get(key)
+        nb = _per_column(self.num_buckets, key, 1) or 1
+        if vocab is not None and nb == 1:  # multi-bucket OOV hashes strings
+            vocab.ensure_resident()
+            vals = np.asarray(vocab.values_by_code)
+            if len(vals) and vals.dtype.kind == "O":
+                try:
+                    # _combo_values joins member values with "_"
+                    parts = [str(v).split("_") for v in vals]
+                    width = len(parts[0])
+                    if width >= 2 and all(len(p) == width for p in parts):
+                        arrays = [
+                            np.array([int(p[i]) for p in parts], dtype=np.int64)
+                            for i in range(width)
+                        ]
+                        i32 = np.iinfo(np.int32)
+                        if all(
+                            a.min() >= i32.min and a.max() <= i32.max
+                            for a in arrays
+                        ):
+                            from .groupby_stats import hash_multi_key
+                            from .lookup import build_lookup
+
+                            h1 = hash_multi_key(arrays, seed=0xA1)
+                            if len(np.unique(h1)) == len(h1):
+                                lut = build_lookup(
+                                    h1.astype(np.int64)
+                                    .astype(np.int32)
+                                    .astype(np.int64),
+                                    np.arange(len(h1), dtype=np.int32),
+                                )
+                                if lut is not None:
+                                    h2 = hash_multi_key(arrays, seed=0xB7)
+                                    result = (
+                                        lut,
+                                        np.append(
+                                            h2.astype(np.uint32), np.uint32(0)
+                                        ),
+                                        width,
+                                    )
+                except ValueError:
+                    result = None
+        cache[key] = result
+        return result
+
+    def _encode_combo_device(self, key: str, cols: List[Column], struct) -> Column:
+        import jax.numpy as jnp
+
+        from ..dag.device_state import get_device_state
+        from .groupby_stats import hash_multi_key
+
+        lut, h2_padded, _width = struct
+        vocab = self.vocabs[key]
+        miss = jnp.int32(len(h2_padded) - 1)
+        table_dev = get_device_state(f"categorify:{id(self)}:combo:{key}:hlut")
+        h2_dev = get_device_state(f"categorify:{id(self)}:combo:{key}:h2")
+        if table_dev is None:
+            table_dev = jnp.asarray(lut.host_table)
+        if h2_dev is None:
+            h2_dev = jnp.asarray(h2_padded)
+        arrays = [c.values for c in cols]
+        h1 = hash_multi_key(arrays, seed=0xA1).astype(jnp.int32)
+        idx = lut.encode_dev(table_dev, h1, miss)
+        found = (idx != miss) & (
+            jnp.take(h2_dev, idx) == hash_multi_key(arrays, seed=0xB7)
+        )
+        codes = jnp.where(found, idx + vocab.start_index, OOV_OFFSET)
+        nulls = jnp.zeros(codes.shape, dtype=bool)
+        for c in cols:
+            if c.validity is not None:
+                nulls |= ~c.validity
+            if c.values.dtype.kind == "f":
+                nulls |= jnp.isnan(c.values)
+        codes = jnp.where(nulls, NULL_INDEX, codes) + vocab.offset
+        return Column(codes.astype(self._out_dtype_np()))
 
     @annotate("Categorify.transform")
     def transform(self, col_selector: ColumnSelector, batch: TableBatch) -> TableBatch:
@@ -1004,6 +1103,11 @@ class Categorify(StatOperator):
         jobs: List[Tuple[str, str, Column]] = []  # preserve output order
         for key, members in self._groups(col_selector):
             if len(members) > 1 and self.encode_type == "combo":
+                cols = [batch[m] for m in members]
+                struct = self._combo_device_struct(key)
+                if struct is not None and all(xnp(c.values) is not np for c in cols):
+                    out[key] = self._encode_combo_device(key, cols, struct)
+                    continue
                 vocab = self._resident_vocab(key)
                 values, validity = _combo_values(batch.to_host(), members)
                 codes = vocab.encode_host(values, validity)
@@ -1238,6 +1342,10 @@ class Categorify(StatOperator):
             nb = _per_column(self.num_buckets, key, 1) or 1
             self.vocabs[key] = _Vocab(values, np.zeros(len(values), dtype=np.int64), nb)
         self.fitted = len(self.vocabs) > 0
+        # persist immediately so save/load round-trips and the disk tier has
+        # a backing file (reference process_vocabs writes the parquet at
+        # construction too, categorify.py:process_vocabs)
+        self._write_vocab_artifacts()
 
     # ------------------------------------------------------------------
     # serving fast path (C++ hash-map lookup; reference categorify.py:602-609)

@@ -184,3 +184,71 @@ def test_merge_broadcast_and_shuffle(tmp_path):
     )
     got2 = m2.to_table().to_pandas().sort_values(["x"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2[expected.columns], expected, check_dtype=False)
+
+
+def _file_sources(out_dir, src_col):
+    """Map output file → set of source partitions present in it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith(".parquet"):
+            vals = pq.read_table(os.path.join(out_dir, f)).column(src_col).to_numpy()
+            out[f] = set(np.unique(vals).tolist())
+    return out
+
+
+def test_writer_per_partition_distribution(tmp_path):
+    """PER_PARTITION splits EVERY partition across all output files: each
+    file must contain rows from every source partition (reference
+    tests/unit/test_dask_nvt.py:105-112 asserts the same distribution)."""
+    nparts, rows_per = 6, 500
+    df = pd.DataFrame(
+        {
+            "src": np.repeat(np.arange(nparts), rows_per),
+            "x": np.arange(nparts * rows_per, dtype=np.float64),
+        }
+    )
+    ds = nvt.Dataset(
+        [__import__("nvtabular_tpu").table.TableBatch.from_pandas(
+            df.iloc[i * rows_per:(i + 1) * rows_per]) for i in range(nparts)]
+    )
+    out_dir = str(tmp_path / "pp")
+    ds.to_parquet(out_dir, shuffle="per_partition", output_files=4)
+    sources = _file_sources(out_dir, "src")
+    assert len(sources) == 4
+    for f, srcs in sources.items():
+        assert srcs == set(range(nparts)), (f, srcs)
+
+
+def test_writer_per_worker_distribution(tmp_path):
+    """PER_WORKER buffers several partitions before the permuted split —
+    rows from ONE source partition still end up spread over every file,
+    and within a file, sources interleave (not contiguous runs)."""
+    import pyarrow.parquet as pq
+    import os
+
+    nparts, rows_per = 6, 500
+    df = pd.DataFrame(
+        {
+            "src": np.repeat(np.arange(nparts), rows_per),
+            "x": np.arange(nparts * rows_per, dtype=np.float64),
+        }
+    )
+    ds = nvt.Dataset(
+        [__import__("nvtabular_tpu").table.TableBatch.from_pandas(
+            df.iloc[i * rows_per:(i + 1) * rows_per]) for i in range(nparts)]
+    )
+    out_dir = str(tmp_path / "pw")
+    ds.to_parquet(out_dir, shuffle="per_worker", output_files=4)
+    sources = _file_sources(out_dir, "src")
+    assert len(sources) == 4
+    for f, srcs in sources.items():
+        assert len(srcs) >= 2, (f, srcs)
+    # global row preservation
+    back = nvt.Dataset(out_dir).to_table().to_pandas()
+    np.testing.assert_array_equal(
+        np.sort(back["x"].to_numpy()), df["x"].to_numpy()
+    )
