@@ -51,6 +51,15 @@ def main():
     workflow = nvt.Workflow(cats + conts + label)
     transformed = workflow.fit_transform(nvt.Dataset(df, part_size=16 * 1024 * 1024))
 
+    # shuffled multi-file parquet write + read-back — the training feed
+    # reads the materialized ETL output, as the reference pipelines do
+    # (BASELINE config 5: ETL → shuffled write → loader → DLRM)
+    import tempfile
+
+    etl_dir = tempfile.mkdtemp(prefix="nvt_etl_")
+    transformed.to_parquet(etl_dir, shuffle="per_worker", output_files=4)
+    transformed = nvt.Dataset(etl_dir)
+
     # --- model + mesh -------------------------------------------------------
     devices = jax.devices()
     model_axis = 2 if len(devices) % 2 == 0 and len(devices) > 1 else 1
