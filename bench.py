@@ -44,18 +44,22 @@ BASELINE_ROWS_PER_SEC = 5.6e6
 
 NUM_CATS = 26
 NUM_CONTS = 13
-ROWS_PER_PART = 1 << 19  # 512K
-NUM_PARTS = 8  # granularity for the heterogeneous host/device split
-CARDINALITY = 50_000
+ROWS_PER_PART = int(os.environ.get("NVT_BENCH_ROWS_PER_PART", 1 << 19))  # 512K
+NUM_PARTS = int(os.environ.get("NVT_BENCH_PARTS", 8))  # hetero split granularity
+CARDINALITY = 10_000_000  # power-law id space per column (reference
+# nvt_etl.py:147-170 runs Categorify(max_size=10_000_000) on Criteo)
 
 
 def make_part(seed: int):
     rng = np.random.default_rng(seed)
     data = {}
     # powerlaw-skewed categorical ids (the Criteo-like distribution the
-    # reference's data_gen models with PowerLawDistro, tools/data_gen.py:51)
+    # reference's data_gen models with PowerLawDistro, tools/data_gen.py:51),
+    # spread over the full int31 range like Criteo's hashed ids — vocab keys
+    # are then non-dense, exercising the cuckoo (2 row-gather) lookup path
     u = rng.random((NUM_CATS, ROWS_PER_PART))
-    ids = (CARDINALITY * u ** 2.5).astype(np.int32)
+    raw = (CARDINALITY * u ** 2.5).astype(np.int64)
+    ids = ((raw * np.int64(2654435761)) % np.int64(2**31)).astype(np.int32)
     for i in range(NUM_CATS):
         data[f"C{i}"] = ids[i]
     conts = rng.normal(1.0, 3.0, (NUM_CONTS, ROWS_PER_PART)).astype(np.float32)
@@ -78,7 +82,7 @@ def main():
     cat_names = [f"C{i}" for i in range(NUM_CATS)]
     cont_names = [f"I{i}" for i in range(NUM_CONTS)]
 
-    cats = cat_names >> ops.Categorify(freq_threshold=2, max_size=10_000_000)
+    cats = cat_names >> ops.Categorify(max_size=10_000_000)
     conts = (
         cont_names
         >> ops.FillMissing()
@@ -145,21 +149,56 @@ def main():
     run_pass(0)
     run_pass(len(batches))
 
-    n_hetero = max(1, int(len(batches) * 0.375))  # ~3/8 host keeps both busy
+    # sweep the host/device split (cuckoo tables shift the optimum vs the
+    # old all-direct 50K-cardinality workload), repeat the best split
+    splits = sorted({0, max(1, int(len(batches) * 0.375)), len(batches) // 2})
     pass_rates = []
     pass_modes = []
     total_rows = 0
     elapsed = 0.0
-    for mode_host in (0, n_hetero, n_hetero, n_hetero):
+
+    def timed_pass(mode_host):
+        nonlocal total_rows, elapsed
         start = time.perf_counter()
         run_pass(mode_host)
         dt = time.perf_counter() - start
         total_rows += rows_per_pass
         elapsed += dt
         pass_rates.append(rows_per_pass / dt)
-        pass_modes.append("device" if mode_host == 0 else f"hetero{mode_host}/{len(batches)}")
+        pass_modes.append(
+            "device" if mode_host == 0 else f"hetero{mode_host}/{len(batches)}"
+        )
+        return rows_per_pass / dt
+
+    best_split, best_rate = 0, 0.0
+    for mode_host in splits:
+        r = timed_pass(mode_host)
+        if r > best_rate:
+            best_split, best_rate = mode_host, r
+    for _ in range(2):
+        timed_pass(best_split)
 
     rows_per_sec = max(pass_rates)
+
+    # ETL + shuffled multi-file write phase (reference nvt_etl.py:147-170
+    # ends in a PER_WORKER shuffled parquet write; the consumer is a host
+    # parquet encoder, so the host C++ transform path feeds it directly —
+    # a device round trip would bottleneck on the tunnel's 12 MB/s d2h)
+    import tempfile
+
+    write_dir = tempfile.mkdtemp(prefix="nvt_bench_write_")
+    write_start = time.perf_counter()
+    transformed = nvt.Dataset(
+        [host_executor.transform_batch(b, out_node) for b in batches]
+    )
+    transformed.to_parquet(write_dir, shuffle="per_worker", output_files=8)
+    write_seconds = time.perf_counter() - write_start
+    write_rows_per_sec = rows_per_pass / write_seconds
+    import shutil
+
+    shutil.rmtree(write_dir, ignore_errors=True)
+
+    vocab_total = sum(len(v.values_by_code) for v in _categorify_ops(workflow))
     print(
         json.dumps(
             {
@@ -175,11 +214,22 @@ def main():
                     "pass_modes": pass_modes,
                     "cats": NUM_CATS,
                     "conts": NUM_CONTS,
+                    "vocab_total_keys": vocab_total,
+                    "transform_write_rows_per_sec": round(write_rows_per_sec, 1),
+                    "write_phase_seconds": round(write_seconds, 3),
                     "backend": _backend(),
                 },
             }
         )
     )
+
+
+def _categorify_ops(workflow):
+    from nvtabular_tpu import ops as _ops
+
+    for node in workflow.graph.nodes:
+        if isinstance(node.op, _ops.Categorify):
+            yield from node.op.vocabs.values()
 
 
 def _backend() -> str:

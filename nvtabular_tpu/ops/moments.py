@@ -140,19 +140,41 @@ class ReservoirSample:
             self.buf = np.concatenate([self.buf, values[:take]])
             self.seen += take
             values = values[take:]
-        for v in values:
-            self.seen += 1
-            j = self.rng.integers(0, self.seen)
-            if j < self.capacity:
-                self.buf[j] = v
+        if len(values) == 0:
+            return
+        # vectorized reservoir step: element i (stream position seen+i+1)
+        # draws slot j ~ U[0, seen+i+1); accepted writes apply in stream
+        # order (numpy fancy assignment is sequential), exactly matching
+        # the classic per-element loop without its O(n) Python cost
+        positions = self.seen + np.arange(1, len(values) + 1, dtype=np.float64)
+        j = (self.rng.random(len(values)) * positions).astype(np.int64)
+        accept = j < self.capacity
+        self.buf[j[accept]] = values[accept]
+        self.seen += len(values)
 
     def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        """Weight-correct distributed merge: each side contributes slots in
+        proportion to how many stream rows its buffer represents — a plain
+        uniform resample of the concatenation would over-represent the side
+        that saw fewer rows (the multi-host fit merges per-host reservoirs
+        through this)."""
         out = ReservoirSample(self.capacity)
-        out.buf = np.concatenate([self.buf, other.buf])
         out.seen = self.seen + other.seen
-        if len(out.buf) > self.capacity:
-            idx = out.rng.choice(len(out.buf), self.capacity, replace=False)
-            out.buf = out.buf[idx]
+        if len(self.buf) + len(other.buf) <= self.capacity:
+            out.buf = np.concatenate([self.buf, other.buf])
+            return out
+        if out.seen <= 0:
+            return out
+        k = self.capacity
+        na = int(round(k * (self.seen / out.seen)))
+        na = min(max(na, k - len(other.buf)), len(self.buf), k)
+        nb = k - na
+        parts = []
+        if na > 0:
+            parts.append(self.buf[out.rng.choice(len(self.buf), na, replace=False)])
+        if nb > 0:
+            parts.append(other.buf[out.rng.choice(len(other.buf), nb, replace=False)])
+        out.buf = np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)
         return out
 
     def quantile(self, q: float) -> float:

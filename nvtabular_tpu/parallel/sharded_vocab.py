@@ -113,6 +113,28 @@ def sharded_value_counts(
     return counts, int(np.asarray(overflow)[0])
 
 
+def sharded_value_counts_exact(
+    keys: np.ndarray,
+    mesh,
+    axis: str = "data",
+    capacity_factor: float = 2.5,
+    max_retries: int = 6,
+) -> Dict[int, int]:
+    """`sharded_value_counts` with automatic overflow retry: power-law key
+    popularity hash-buckets unevenly, so the fixed per-owner send capacity
+    can overflow — each retry doubles the capacity factor (worst case one
+    owner receives EVERY key: factor reaches ndev). Counts stay exact."""
+    factor = capacity_factor
+    for _ in range(max_retries):
+        counts, overflow = sharded_value_counts(keys, mesh, axis, factor)
+        if overflow == 0:
+            return counts
+        factor *= 2
+    raise RuntimeError(
+        f"sharded_value_counts still overflowing at capacity_factor={factor}"
+    )
+
+
 def _owner_of_int64(keys: np.ndarray, nproc: int) -> np.ndarray:
     """Deterministic owner process for each int64 key (host-side mix of the
     same finalizer family as `_mix32`)."""
