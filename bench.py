@@ -92,9 +92,11 @@ def main():
     )
     workflow = nvt.Workflow(cats + conts + ["label"])
 
+    print("bench: fitting...", file=sys.stderr, flush=True)
     fit_start = time.perf_counter()
     workflow.fit(dataset)
     fit_seconds = time.perf_counter() - fit_start
+    print(f"bench: fit done in {fit_seconds:.1f}s", file=sys.stderr, flush=True)
 
     # Device-resident transform throughput. Axon-tunnel platform facts that
     # shape this harness (see .claude/skills/verify/SKILL.md): execution is
@@ -146,8 +148,13 @@ def main():
             th.join()
 
     # warmup both engines (compiles + tunnel flip + native table builds)
+    print("bench: staging done, warming device (compile)...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     run_pass(0)
+    print(f"bench: device warm in {time.perf_counter()-t0:.1f}s; warming host...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
     run_pass(len(batches))
+    print(f"bench: host warm in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     # sweep the host/device split (cuckoo tables shift the optimum vs the
     # old all-direct 50K-cardinality workload), repeat the best split

@@ -820,7 +820,8 @@ class Categorify(StatOperator):
         return out
 
     def fit_finalize(self, state):
-        for key, accum in state.items():
+        def finalize_one(item):
+            key, accum = item
             values, counts, _nulls = accum.finalize()
             ft = _per_column(self.freq_threshold, key, 0)
             nb = _per_column(self.num_buckets, key, 1) or 1
@@ -831,7 +832,29 @@ class Categorify(StatOperator):
             if mx and mx > 0:
                 budget = max(0, mx - (OOV_OFFSET + nb))
                 values, counts = values[:budget], counts[:budget]
-            self.vocabs[key] = _Vocab(values, counts, nb)
+            vocab = _Vocab(values, counts, nb)
+            if not self.single_table and self._memory_limit_bytes() is None:
+                # pre-build the gather table inside the pool (C++ cuckoo
+                # build releases the GIL) so the first transform doesn't
+                # serialize 26 builds; skipped under single_table (offsets
+                # not final yet) and memory budgets (may release right away)
+                vocab.lookup_struct()
+            return key, vocab
+
+        items = list(state.items())
+        # native-counter finalize is numpy+C++ (thread-safe, GIL-released);
+        # arrow-partial accums stay serial (concurrent pyarrow aggregation
+        # segfaults in this environment — see CLAUDE.md)
+        pooled = [it for it in items if it[1]._counter is not None and not it[1].partials]
+        serial = [it for it in items if it not in pooled]
+        if len(pooled) >= 4:
+            results = list(_shared_pool().map(finalize_one, pooled))
+        else:
+            serial = pooled + serial
+            results = []
+        results.extend(finalize_one(it) for it in serial)
+        for key, vocab in results:
+            self.vocabs[key] = vocab
         if self.single_table:
             # contiguous global index space (reference fit_finalize:404-415)
             offset = 0
@@ -860,16 +883,28 @@ class Categorify(StatOperator):
 
         out_dir = os.path.join(self.out_path, "categories")
         os.makedirs(out_dir, exist_ok=True)
-        for key, vocab in self.vocabs.items():
+
+        def write_one(item):
+            key, vocab = item
             path = os.path.join(out_dir, f"unique.{_safe_name(key)}.parquet")
             vals = vocab.values_by_code
             arr = pa.array(vals.tolist() if getattr(vals, "dtype", np.dtype("O")).kind == "O" else vals)
             counts = pa.array(np.asarray(vocab.counts, dtype=np.int64))
             tbl = pa.table({key: arr, f"{key}_size": counts})
             pq.write_table(tbl, path)
+            return key, path
+
+        items = list(self.vocabs.items())
+        if len(items) >= 4:
+            # distinct files: arrow's parquet encoder releases the GIL
+            # (same pattern as io/writer.py's parallel per-file encode)
+            results = list(_shared_pool().map(write_one, items))
+        else:
+            results = [write_one(it) for it in items]
+        for key, path in results:
             self.categories[key] = path
-            vocab.artifact_path = path
-            vocab.tier = self._tier(key)
+            self.vocabs[key].artifact_path = path
+            self.vocabs[key].tier = self._tier(key)
 
     def clear(self):
         super().clear()
