@@ -156,9 +156,11 @@ def main():
     run_pass(len(batches))
     print(f"bench: host warm in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # sweep the host/device split (cuckoo tables shift the optimum vs the
-    # old all-direct 50K-cardinality workload), repeat the best split
-    splits = sorted({0, max(1, int(len(batches) * 0.375)), len(batches) // 2})
+    # sweep the host/device split (cuckoo tables + the prefetched C++ host
+    # encode shift the optimum vs the old all-direct 50K-cardinality
+    # workload), then repeat the best split
+    nb = len(batches)
+    splits = sorted({0, nb * 3 // 8, nb // 2, nb * 5 // 8, nb * 3 // 4})
     pass_rates = []
     pass_modes = []
     total_rows = 0
