@@ -53,7 +53,7 @@ def main():
 
     import nvtabular_tpu as nvt
     from nvtabular_tpu import ops
-    from nvtabular_tpu.ops.lookup import CuckooLookup, DirectLookup
+    from nvtabular_tpu.ops.lookup import CuckooLookup, DirectLookup, StashLookup
     from nvtabular_tpu.table import TableBatch
 
     rng = np.random.default_rng(0)
@@ -75,6 +75,8 @@ def main():
                 kinds.add(
                     "direct"
                     if isinstance(lut, DirectLookup)
+                    else "stash"
+                    if isinstance(lut, StashLookup)
                     else "cuckoo"
                     if isinstance(lut, CuckooLookup)
                     else "none"

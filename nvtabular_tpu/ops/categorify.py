@@ -1183,7 +1183,13 @@ class Categorify(StatOperator):
         """Column-batched lookup structures over ALL fitted vocabs, built
         deterministically (sorted vocab key) so device_state and transform
         agree. Returns {kind: (batched_lut, {vocab_key: row_index})}."""
-        from .lookup import BatchedCuckoo, BatchedDirect, DirectLookup
+        from .lookup import (
+            BatchedCuckoo,
+            BatchedDirect,
+            BatchedStash,
+            DirectLookup,
+            StashLookup,
+        )
 
         if self._memory_limit_bytes() is not None:
             # the batched concat duplicates every table — incompatible with
@@ -1192,7 +1198,11 @@ class Categorify(StatOperator):
         token = tuple(sorted((k, id(v)) for k, v in self.vocabs.items()))
         if self._batched_cache is not None and self._batched_cache[0] == token:
             return self._batched_cache[1]
-        by_kind: Dict[str, List[Tuple[str, Any]]] = {"direct": [], "cuckoo": []}
+        by_kind: Dict[str, List[Tuple[str, Any]]] = {
+            "direct": [],
+            "stash": [],
+            "cuckoo": [],
+        }
         for vkey in sorted(self.vocabs):
             if self._tier(vkey) == "disk":
                 continue  # disk tier columns encode solo (no duplicate copy)
@@ -1200,14 +1210,24 @@ class Categorify(StatOperator):
             lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
             if lut is None:
                 continue
-            kind = "direct" if isinstance(lut, DirectLookup) else "cuckoo"
+            if isinstance(lut, DirectLookup):
+                kind = "direct"
+            elif isinstance(lut, StashLookup):
+                kind = "stash"
+            else:
+                kind = "cuckoo"
             by_kind[kind].append((vkey, lut))
         out = {}
+        builders = {
+            "direct": BatchedDirect,
+            "stash": BatchedStash,
+            "cuckoo": BatchedCuckoo,
+        }
         for kind, entries in by_kind.items():
             if not entries:
                 continue
             luts = [l for _, l in entries]
-            blut = BatchedDirect(luts) if kind == "direct" else BatchedCuckoo(luts)
+            blut = builders[kind](luts)
             out[kind] = (blut, {vkey: i for i, (vkey, _) in enumerate(entries)})
         self._batched_cache = (token, out)
         return out
@@ -1251,7 +1271,7 @@ class Categorify(StatOperator):
         """Vectorize same-shape device columns through the column-batched
         lookup structures. Returns {col_name: codes} for columns handled."""
         from ..dag.device_state import get_device_state
-        from .lookup import DirectLookup
+        from .lookup import DirectLookup, StashLookup
 
         batched = self._get_batched()
         if not batched:
@@ -1268,7 +1288,12 @@ class Categorify(StatOperator):
             lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
             if lut is None:
                 continue
-            kind = "direct" if isinstance(lut, DirectLookup) else "cuckoo"
+            if isinstance(lut, DirectLookup):
+                kind = "direct"
+            elif isinstance(lut, StashLookup):
+                kind = "stash"
+            else:
+                kind = "cuckoo"
             groups.setdefault((kind, col.values.shape, str(col.values.dtype)), []).append(
                 (name, vkey, vocab, col)
             )

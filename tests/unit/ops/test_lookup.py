@@ -7,9 +7,11 @@ import pytest
 from nvtabular_tpu.ops.lookup import (
     CuckooLookup,
     DirectLookup,
+    StashLookup,
     build_cuckoo,
     build_direct,
     build_lookup,
+    build_stash,
 )
 
 
@@ -87,6 +89,54 @@ def test_build_lookup_choice():
     codes = np.array([2, 3, 4], dtype=np.int32)
     assert isinstance(build_lookup(np.array([5, 6, 7]), codes), DirectLookup)
     assert isinstance(
-        build_lookup(np.array([5, 6, 2_000_000_000]), codes), CuckooLookup
+        build_lookup(np.array([5, 6, 2_000_000_000]), codes), StashLookup
     )
     assert build_lookup(np.array(["a", "b", "c"], dtype=object), codes) is None
+
+
+def test_stash_lookup_matches_reference():
+    """Primary+stash layout: exact host/device equality vs dict encode at
+    a load that forces real bucket spills into the stash."""
+    rng = np.random.default_rng(3)
+    keys = rng.choice(np.arange(1, 2**31, 631, dtype=np.int64), 200_000, replace=False)
+    codes = np.arange(3, 3 + len(keys), dtype=np.int32)
+    lut = build_stash(keys, codes)
+    assert isinstance(lut, StashLookup)
+    assert lut.nbs > 0, "expected spilled keys in the stash"
+
+    queries = np.concatenate([rng.choice(keys, 50_000), rng.integers(2**31 - 10_000, 2**31, 5_000)])
+    rng.shuffle(queries)
+    expected = _ref_encode(keys, codes, queries)
+    got_np = lut.encode_np(queries.astype(np.int64), np.int32(-7))
+    np.testing.assert_array_equal(got_np, expected)
+
+    import jax.numpy as jnp
+
+    got_dev = np.asarray(
+        lut.encode_dev(jnp.asarray(lut.host_table), jnp.asarray(queries.astype(np.int32)), jnp.int32(-7))
+    )
+    np.testing.assert_array_equal(got_dev, expected)
+
+
+def test_batched_stash_matches_solo():
+    from nvtabular_tpu.ops.lookup import BatchedStash
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    luts, queries, expecteds = [], [], []
+    for c in range(3):
+        n = 40_000 + 7_000 * c
+        keys = rng.choice(np.arange(1, 2**31, 977 + c, dtype=np.int64), n, replace=False)
+        codes = np.arange(3, 3 + n, dtype=np.int32)
+        lut = build_stash(keys, codes)
+        assert isinstance(lut, StashLookup)
+        q = np.concatenate([rng.choice(keys, 8_192), rng.integers(1, 2**31, 8_192)])[:16_384]
+        luts.append(lut)
+        queries.append(q.astype(np.int32))
+        expecteds.append(_ref_encode(keys, codes, q))
+    blut = BatchedStash(luts)
+    vals = jnp.asarray(np.stack(queries))
+    miss = jnp.full(vals.shape, -7, dtype=jnp.int32)
+    got = np.asarray(blut.encode_dev(jnp.asarray(blut.concat), vals, miss))
+    for c in range(3):
+        np.testing.assert_array_equal(got[c], expecteds[c], err_msg=str(c))
