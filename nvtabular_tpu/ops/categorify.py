@@ -1004,11 +1004,19 @@ class Categorify(StatOperator):
         published for the vectorized path; per-vocab tables for solo columns."""
         state = {}
         batched = self._get_batched()
-        for kind, (blut, _) in batched.items():
+        covered = set()
+        for kind, (blut, row_index) in batched.items():
             state[f"categorify:{id(self)}:batched:{kind}"] = blut.concat
+            covered.update(row_index)
         for vkey, vocab in self.vocabs.items():
             if self._tier(vkey) == "disk":
                 continue  # disk tier: no persistent HBM copy
+            if vkey in covered:
+                # every device encode for this vocab routes through the
+                # batched concat — publishing the solo table too would
+                # double the HBM + transfer (1.7 GB at 26x2.8M-key vocabs)
+                vocab.state_key = None
+                continue
             lut = self._resident_vocab(vkey).lookup_struct()
             if lut is None:
                 continue
@@ -1278,8 +1286,10 @@ class Categorify(StatOperator):
             return {}
         groups: Dict[Tuple, List[Tuple[str, str, "_Vocab", Column]]] = {}
         for name, vkey, col in jobs:
-            if xnp(col.values) is np or col.is_list:
+            if xnp(col.values) is np:
                 continue
+            # list columns participate via their FLAT values array (their
+            # own shape group); offsets re-wrap in the caller
             # only vocab keys present in a batched structure participate;
             # disk-tier (and budget-spilled) columns take the solo path
             if not any(vkey in row_index for _, row_index in batched.values()):
@@ -1303,8 +1313,8 @@ class Categorify(StatOperator):
                 continue
             blut, row_index = batched[kind]
             items = [it for it in items if it[1] in row_index]
-            if len(items) < 2:
-                continue  # single column: per-column path is already one gather
+            if not items:
+                continue
             import jax.numpy as jnp
 
             sel = np.array([row_index[vk] for _, vk, _, _ in items], dtype=np.int64)
@@ -1318,15 +1328,16 @@ class Categorify(StatOperator):
                  for _, _, v, c in items]
             )
             codes = blut.encode_dev(concat_dev, vals, miss, sel=sel)
-            # null handling + single_table offsets, vectorized
-            nulls = jnp.zeros(vals.shape, dtype=bool)
-            any_valid = any(c.validity is not None for _, _, _, c in items)
-            if any_valid:
+            # null handling + single_table offsets, vectorized (list
+            # columns carry no per-value validity — matches the fit, which
+            # flattens multihots with validity=None)
+            valids = [None if c.is_list else c.validity for _, _, _, c in items]
+            if any(v is not None for v in valids):
                 nulls = jnp.stack(
                     [
-                        (~c.validity) if c.validity is not None
+                        (~v) if v is not None
                         else jnp.zeros(c.values.shape, dtype=bool)
-                        for _, _, _, c in items
+                        for v, (_, _, _, c) in zip(valids, items)
                     ]
                 )
                 codes = jnp.where(nulls, NULL_INDEX, codes)
