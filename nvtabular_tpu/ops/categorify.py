@@ -1007,6 +1007,12 @@ class Categorify(StatOperator):
         covered = set()
         for kind, (blut, row_index) in batched.items():
             state[f"categorify:{id(self)}:batched:{kind}"] = blut.concat
+            if kind == "stash":
+                # the overflow stash rides as its own SMALL device array —
+                # gather cost tracks operand size (kernels/README.md)
+                state[f"categorify:{id(self)}:batched:stash_overflow"] = (
+                    blut.stash_concat
+                )
             covered.update(row_index)
         for vkey, vocab in self.vocabs.items():
             if self._tier(vkey) == "disk":
@@ -1327,7 +1333,15 @@ class Categorify(StatOperator):
                 [jnp.broadcast_to(v._oov_codes_dev(c.values), c.values.shape)
                  for _, _, v, c in items]
             )
-            codes = blut.encode_dev(concat_dev, vals, miss, sel=sel)
+            if kind == "stash":
+                stash_dev = get_device_state(
+                    f"categorify:{id(self)}:batched:stash_overflow"
+                )
+                codes = blut.encode_dev(
+                    concat_dev, vals, miss, sel=sel, stash_dev=stash_dev
+                )
+            else:
+                codes = blut.encode_dev(concat_dev, vals, miss, sel=sel)
             # null handling + single_table offsets, vectorized (list
             # columns carry no per-value validity — matches the fit, which
             # flattens multihots with validity=None)

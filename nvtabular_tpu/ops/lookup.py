@@ -443,21 +443,34 @@ class BatchedDirect:
 
 
 class BatchedStash:
-    """Column-batched primary+stash lookup: every column's [nbp+nbs, 8]
-    packed array stacked along rows; ONE big row-gather (primaries) + two
-    cached-region gathers (stashes) serve every column at once."""
+    """Column-batched primary+stash lookup. The primaries concatenate into
+    one big array served by ONE row-gather; the overflow stashes
+    concatenate into a SEPARATE small array — gather cost tracks the
+    OPERAND array's size on v5e (kernels/README.md: a 1 GB-array gather is
+    ~7x a ≤32 MB-array gather even when the touched footprint is small),
+    so keeping the stash out of the big concat is what makes its two extra
+    probes nearly free."""
 
-    __slots__ = ("concat", "nbps", "nbss", "row_offs")
+    __slots__ = ("concat", "stash_concat", "nbps", "nbss", "row_offs", "stash_offs")
 
     def __init__(self, luts):
-        self.concat = np.concatenate([l.packed for l in luts], axis=0)
+        self.concat = np.concatenate(
+            [l.packed[: l.nbp] for l in luts], axis=0
+        )
+        stashes = [l.packed[l.nbp :] for l in luts if l.nbs]
+        self.stash_concat = (
+            np.concatenate(stashes, axis=0)
+            if stashes
+            else np.full((1, 2 * _BUCKET_SLOTS), _EMPTY, dtype=np.int32)
+        )
         self.nbps = np.array([l.nbp for l in luts], dtype=np.int32)
         self.nbss = np.array([l.nbs for l in luts], dtype=np.int32)
-        rows = np.array([l.packed.shape[0] for l in luts], dtype=np.int64)
         self.row_offs = np.zeros(len(luts), dtype=np.int32)
-        np.cumsum(rows[:-1], out=self.row_offs[1:])
+        np.cumsum(self.nbps[:-1], out=self.row_offs[1:])
+        self.stash_offs = np.zeros(len(luts), dtype=np.int32)
+        np.cumsum(self.nbss[:-1], out=self.stash_offs[1:])
 
-    def encode_dev(self, concat_dev, values, miss_codes, sel=None):
+    def encode_dev(self, concat_dev, values, miss_codes, sel=None, stash_dev=None):
         import jax.numpy as jnp
 
         sel = slice(None) if sel is None else np.asarray(sel)
@@ -476,17 +489,17 @@ class BatchedStash:
             out = jnp.where(hit, rows[..., _BUCKET_SLOTS + s], out)
 
         if (nbss > 0).any():
+            if stash_dev is None:
+                stash_dev = jnp.asarray(self.stash_concat)
             has_stash = jnp.asarray(nbss > 0)[:, None]
             smask = jnp.asarray(
                 (np.maximum(nbss, 1) - 1).astype(np.uint32)
             )[:, None]
-            soff = jnp.asarray((self.row_offs[sel] + nbps).astype(np.int32))[:, None]
+            soff = jnp.asarray(self.stash_offs[sel])[:, None]
             for seed in (int(_SEED3), int(_SEED4)):
                 sb = (_mix32_jnp(u, seed) & smask).astype(jnp.int32) + soff
-                # stashless columns probe their own primary row 0 (in
-                # range) with hits masked off
-                sb = jnp.where(has_stash, sb, row_offs)
-                rows = jnp.take(concat_dev, sb, axis=0)
+                sb = jnp.where(has_stash, sb, 0)  # stashless: masked row 0
+                rows = jnp.take(stash_dev, sb, axis=0)
                 for s in range(_BUCKET_SLOTS):
                     hit = (
                         has_stash
