@@ -645,7 +645,7 @@ class Dataset:
                     w = writers.get(b)
                     if w is None:
                         paths[b] = os.path.join(spill_dir, f"bucket_{b:05d}.parquet")
-                        w = pq.ParquetWriter(paths[b], writer_schema)
+                        w = pq.ParquetWriter(paths[b], writer_schema, use_dictionary=False)
                         writers[b] = w
                         rows[b] = 0
                     w.write_table(table)

@@ -52,11 +52,18 @@ class ParquetWriter:
         import pyarrow.parquet as pq
 
         if self._writers[idx] is None:
-            self._writers[idx] = pq.ParquetWriter(self._paths[idx], table.schema)
+            # use_dictionary=False: high-cardinality int codes make arrow's
+            # dictionary encoding ~10x slower AND larger (measured 0.24 vs
+            # 2.3 M rows/s on 26 int32 code columns)
+            self._writers[idx] = pq.ParquetWriter(
+                self._paths[idx], table.schema, use_dictionary=False
+            )
         self._writers[idx].write_table(table, row_group_size=self.row_group_size)
 
-    def append_split(self, batch: TableBatch):
+    def append_split(self, batch: TableBatch, perm=None):
         """Split one batch evenly across all output files (parallel encode)."""
+        if perm is not None:
+            batch = batch.take(perm)
         n = batch.num_rows
         if n == 0:
             return
@@ -106,8 +113,7 @@ def write_dataset(
 
     if shuffle == Shuffle.FULL:
         table = dataset.to_table()
-        perm = rng.permutation(table.num_rows)
-        writer.append_split(table.take(perm))
+        writer.append_split(table, perm=rng.permutation(table.num_rows))
     elif shuffle == Shuffle.PER_WORKER:
         buf: List[TableBatch] = []
         for batch in dataset.to_batches(prefetch=1):
@@ -120,8 +126,7 @@ def write_dataset(
     elif shuffle == Shuffle.PER_PARTITION:
         for batch in dataset.to_batches(prefetch=1):
             batch = batch.to_host()
-            perm = rng.permutation(batch.num_rows)
-            writer.append_split(batch.take(perm))
+            writer.append_split(batch, perm=rng.permutation(batch.num_rows))
     else:
         for batch in dataset.to_batches(prefetch=1):
             writer.append(batch.to_host())
@@ -132,8 +137,7 @@ def write_dataset(
 
 def _flush_shuffled(writer: ParquetWriter, buf: List[TableBatch], rng):
     merged = concat_rows(buf)
-    perm = rng.permutation(merged.num_rows)
-    writer.append_split(merged.take(perm))
+    writer.append_split(merged, perm=rng.permutation(merged.num_rows))
 
 
 def _write_metadata(output_path: str, paths: List[str]):

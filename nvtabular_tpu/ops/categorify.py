@@ -891,7 +891,9 @@ class Categorify(StatOperator):
             arr = pa.array(vals.tolist() if getattr(vals, "dtype", np.dtype("O")).kind == "O" else vals)
             counts = pa.array(np.asarray(vocab.counts, dtype=np.int64))
             tbl = pa.table({key: arr, f"{key}_size": counts})
-            pq.write_table(tbl, path)
+            # vocab values are unique by construction: dictionary encoding
+            # is pure overhead (measured ~10x slower at multi-M keys)
+            pq.write_table(tbl, path, use_dictionary=False)
             return key, path
 
         items = list(self.vocabs.items())
