@@ -1004,15 +1004,17 @@ class Categorify(StatOperator):
         of the reference, merlin.io.worker / P4 — here the cache is device HBM
         and the executor owns placement). Column-batched concat tables are
         published for the vectorized path; per-vocab tables for solo columns."""
+        from .lookup import BatchedStash
+
         state = {}
         batched = self._get_batched()
         covered = set()
-        for kind, (blut, row_index) in batched.items():
-            state[f"categorify:{id(self)}:batched:{kind}"] = blut.concat
-            if kind == "stash":
+        for bkey, (blut, row_index) in batched.items():
+            state[f"categorify:{id(self)}:batched:{bkey}"] = blut.concat
+            if isinstance(blut, BatchedStash):
                 # the overflow stash rides as its own SMALL device array —
                 # gather cost tracks operand size (kernels/README.md)
-                state[f"categorify:{id(self)}:batched:stash_overflow"] = (
+                state[f"categorify:{id(self)}:batched:{bkey}:overflow"] = (
                     blut.stash_concat
                 )
             covered.update(row_index)
@@ -1198,7 +1200,15 @@ class Categorify(StatOperator):
     def _get_batched(self):
         """Column-batched lookup structures over ALL fitted vocabs, built
         deterministically (sorted vocab key) so device_state and transform
-        agree. Returns {kind: (batched_lut, {vocab_key: row_index})}."""
+        agree. Returns {bin_key: (batched_lut, {vocab_key: row_index})}
+        where bin_key is "<kind>#<i>".
+
+        Concats are SIZE-CAPPED into bins (NVT_BATCHED_CONCAT_LIMIT bytes,
+        default 192 MB): gather cost on v5e grows with the operand array's
+        size (kernels/README.md — a 1.75 GB concat gathers ~5x slower than
+        ≤100 MB arrays), so at Criteo-scale vocabularies several
+        medium-sized gathers beat one giant one; at small vocabs everything
+        lands in one bin and the behavior is the round-1 single-gather."""
         from .lookup import (
             BatchedCuckoo,
             BatchedDirect,
@@ -1239,12 +1249,26 @@ class Categorify(StatOperator):
             "stash": BatchedStash,
             "cuckoo": BatchedCuckoo,
         }
+        limit = int(os.environ.get("NVT_BATCHED_CONCAT_LIMIT", 192 * 1024 * 1024))
         for kind, entries in by_kind.items():
             if not entries:
                 continue
-            luts = [l for _, l in entries]
-            blut = builders[kind](luts)
-            out[kind] = (blut, {vkey: i for i, (vkey, _) in enumerate(entries)})
+            bins: List[List[Tuple[str, Any]]] = [[]]
+            bin_bytes = 0
+            for vkey, lut in entries:
+                nb = lut.nbytes
+                if bins[-1] and bin_bytes + nb > limit:
+                    bins.append([])
+                    bin_bytes = 0
+                bins[-1].append((vkey, lut))
+                bin_bytes += nb
+            for bi, bin_entries in enumerate(bins):
+                luts = [l for _, l in bin_entries]
+                blut = builders[kind](luts)
+                out[f"{kind}#{bi}"] = (
+                    blut,
+                    {vkey: i for i, (vkey, _) in enumerate(bin_entries)},
+                )
         self._batched_cache = (token, out)
         return out
 
@@ -1287,46 +1311,37 @@ class Categorify(StatOperator):
         """Vectorize same-shape device columns through the column-batched
         lookup structures. Returns {col_name: codes} for columns handled."""
         from ..dag.device_state import get_device_state
-        from .lookup import DirectLookup, StashLookup
+        from .lookup import BatchedStash
 
         batched = self._get_batched()
         if not batched:
             return {}
+        # which size-capped bin owns each vocab key
+        bin_of: Dict[str, str] = {}
+        for bkey, (_, row_index) in batched.items():
+            for vk in row_index:
+                bin_of[vk] = bkey
         groups: Dict[Tuple, List[Tuple[str, str, "_Vocab", Column]]] = {}
         for name, vkey, col in jobs:
             if xnp(col.values) is np:
                 continue
             # list columns participate via their FLAT values array (their
-            # own shape group); offsets re-wrap in the caller
-            # only vocab keys present in a batched structure participate;
+            # own shape group); offsets re-wrap in the caller.
             # disk-tier (and budget-spilled) columns take the solo path
-            if not any(vkey in row_index for _, row_index in batched.values()):
+            bkey = bin_of.get(vkey)
+            if bkey is None:
                 continue
             vocab = self._resident_vocab(vkey)
-            lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
-            if lut is None:
-                continue
-            if isinstance(lut, DirectLookup):
-                kind = "direct"
-            elif isinstance(lut, StashLookup):
-                kind = "stash"
-            else:
-                kind = "cuckoo"
-            groups.setdefault((kind, col.values.shape, str(col.values.dtype)), []).append(
-                (name, vkey, vocab, col)
-            )
+            groups.setdefault(
+                (bkey, col.values.shape, str(col.values.dtype)), []
+            ).append((name, vkey, vocab, col))
         result: Dict[str, Any] = {}
-        for (kind, shape, _dt), items in groups.items():
-            if kind not in batched:
-                continue
-            blut, row_index = batched[kind]
-            items = [it for it in items if it[1] in row_index]
-            if not items:
-                continue
+        for (bkey, shape, _dt), items in groups.items():
+            blut, row_index = batched[bkey]
             import jax.numpy as jnp
 
             sel = np.array([row_index[vk] for _, vk, _, _ in items], dtype=np.int64)
-            state_key = f"categorify:{id(self)}:batched:{kind}"
+            state_key = f"categorify:{id(self)}:batched:{bkey}"
             concat_dev = get_device_state(state_key)
             if concat_dev is None:
                 concat_dev = jnp.asarray(blut.concat)
@@ -1335,9 +1350,9 @@ class Categorify(StatOperator):
                 [jnp.broadcast_to(v._oov_codes_dev(c.values), c.values.shape)
                  for _, _, v, c in items]
             )
-            if kind == "stash":
+            if isinstance(blut, BatchedStash):
                 stash_dev = get_device_state(
-                    f"categorify:{id(self)}:batched:stash_overflow"
+                    f"categorify:{id(self)}:batched:{bkey}:overflow"
                 )
                 codes = blut.encode_dev(
                     concat_dev, vals, miss, sel=sel, stash_dev=stash_dev
