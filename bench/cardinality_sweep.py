@@ -3,9 +3,10 @@
 Records where the direct (1 gather) → cuckoo (2 row-gather) lookup
 crossover lands and how the device transform rate responds — the measured
 counterpart of the reference's cardinality-scaling claims
-(reference bench/examples/MultiGPUBench.md; the v5e gather unit runs a
-FLAT 0.12-0.14 G lookups/s across table sizes, kernels/README.md, so the
-expected shape is: direct ≈ flat, cuckoo ≈ half the direct rate).
+(reference bench/examples/MultiGPUBench.md). Gather cost on v5e tracks the
+OPERAND array size (kernels/README.md): flat ~0.12 G lookups/s while
+tables stay ≤32 MB, then latency-bound decay — the sweep shows where each
+lookup layout (direct / primary+stash / cuckoo) leaves the fast regime.
 
 Two key layouts per cardinality:
 - dense:  ids in [0, card)            → DirectLookup while range permits
