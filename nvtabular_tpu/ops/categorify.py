@@ -1253,15 +1253,25 @@ class Categorify(StatOperator):
         for kind, entries in by_kind.items():
             if not entries:
                 continue
+            # First-fit-DECREASING by table bytes (ties broken by vkey for
+            # determinism): real tabular data is size-skewed — Criteo has
+            # ~5 multi-million-key columns and ~21 tiny ones — and gather
+            # cost tracks the operand array's size (kernels/README.md), so
+            # the small tables must share a small cached-regime bin rather
+            # than interleave with the big tables' bins.
+            entries = sorted(entries, key=lambda e: (-e[1].nbytes, e[0]))
             bins: List[List[Tuple[str, Any]]] = [[]]
-            bin_bytes = 0
+            bin_sizes = [0]
             for vkey, lut in entries:
                 nb = lut.nbytes
-                if bins[-1] and bin_bytes + nb > limit:
-                    bins.append([])
-                    bin_bytes = 0
-                bins[-1].append((vkey, lut))
-                bin_bytes += nb
+                for i, used in enumerate(bin_sizes):
+                    if not bins[i] or used + nb <= limit:
+                        bins[i].append((vkey, lut))
+                        bin_sizes[i] += nb
+                        break
+                else:
+                    bins.append([(vkey, lut)])
+                    bin_sizes.append(nb)
             for bi, bin_entries in enumerate(bins):
                 luts = [l for _, l in bin_entries]
                 blut = builders[kind](luts)
