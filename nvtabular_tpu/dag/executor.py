@@ -28,6 +28,7 @@ TPU-first design
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -368,7 +369,12 @@ class JitExecutor(LocalExecutor):
         import concurrent.futures as cf
 
         fraction = min(max(float(fraction), 0.0), 1.0)
-        host_exec = LocalExecutor()
+        if os.environ.get("NVT_HOST_FUSE", "1") != "0":
+            from .host_fuse import FusedHostExecutor
+
+            host_exec = FusedHostExecutor()
+        else:
+            host_exec = LocalExecutor()
         results: Dict[int, Any] = {}
         next_out = 0
         acc = 0.0

@@ -96,6 +96,24 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
     lib.nvt_cuckoo_build.restype = ctypes.c_int64
     lib.nvt_cuckoo_build.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.nvt_cont_pipe_f32.argtypes = [
+        f32p, f32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_float,       # has_fill, fill
+        ctypes.c_int32, ctypes.c_float,       # has_lo, lo
+        ctypes.c_int32, ctypes.c_float,       # has_hi, hi
+        ctypes.c_int32,                       # do_log1p
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float,  # has_norm, sub, div
+    ]
+    lib.nvt_cont_pipe_f64.argtypes = [
+        f64p, f64p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_double,
+        ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+    ]
 
 
 def native_available() -> bool:
@@ -346,3 +364,39 @@ class FillTransform:
                 )
                 out[name] = vals
         return out
+
+
+def cont_pipe(
+    values: "np.ndarray",
+    fill: Optional[float] = None,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    log1p: bool = False,
+    sub: Optional[float] = None,
+    div: Optional[float] = None,
+) -> "np.ndarray":
+    """One fused memory pass over a float column: NaN-fill -> clip ->
+    log1p -> (v - sub) / div, each stage optional. The C call releases the
+    GIL, so the hetero host worker thread overlaps with device dispatch.
+    Stage math mirrors the Python ops exactly (same expressions, same float
+    rounding); see dag/host_fuse.py for the chain extraction.
+    """
+    lib = _build_and_load()
+    arr = np.ascontiguousarray(values)
+    out = np.empty_like(arr)
+    if arr.dtype == np.float32:
+        fn, ptr = lib.nvt_cont_pipe_f32, ctypes.POINTER(ctypes.c_float)
+    elif arr.dtype == np.float64:
+        fn, ptr = lib.nvt_cont_pipe_f64, ctypes.POINTER(ctypes.c_double)
+    else:
+        raise TypeError(f"cont_pipe needs float32/float64, got {arr.dtype}")
+    fn(
+        arr.ctypes.data_as(ptr), out.ctypes.data_as(ptr), arr.size,
+        int(fill is not None), float(fill or 0.0),
+        int(lo is not None), float(lo if lo is not None else 0.0),
+        int(hi is not None), float(hi if hi is not None else 0.0),
+        int(bool(log1p)),
+        int(div is not None), float(sub if sub is not None else 0.0),
+        float(div if div is not None else 1.0),
+    )
+    return out
