@@ -213,8 +213,21 @@ class FusedHostExecutor(LocalExecutor):
                 return None  # ints/objects, or a mid-chain f32 cast would apply
             cols[n] = v
         out = TableBatch()
-        for n in spec.names:
-            out[n] = Column(pipe(cols[n], **spec.params[n]))
+        if len(spec.names) >= 2:
+            # fan out across the shared encode pool: the C call releases
+            # the GIL, so columns transform on all cores concurrently
+            from ..ops.categorify import _shared_pool
+
+            fused = list(
+                _shared_pool().map(
+                    lambda n: (n, pipe(cols[n], **spec.params[n])), spec.names
+                )
+            )
+            for n, vals in fused:
+                out[n] = Column(vals)
+        else:
+            for n in spec.names:
+                out[n] = Column(pipe(cols[n], **spec.params[n]))
         if node.output_schema is not None:
             out = _conform_to_schema(out, node.output_schema, node)
         return out
