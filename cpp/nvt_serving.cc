@@ -555,7 +555,11 @@ constexpr int kSlots = 4;
 // success, 0 when an eviction walk exceeds its budget (caller doubles nb).
 int64_t nvt_cuckoo_build(const int32_t* keys, const int32_t* vals, int64_t n,
                          int64_t nb, int32_t* packed) {
-  const uint32_t mask = static_cast<uint32_t>(nb) - 1;
+  // modulo (not pow2 mask) range reduction: bucket counts are EXACT so the
+  // packed table's bytes stay minimal — the device gather rate tracks the
+  // operand size (lookup.py CuckooLookup docstring). Must match
+  // lookup.py's `_mix32 % nb` bit for bit.
+  const uint32_t nbu = static_cast<uint32_t>(nb);
   for (int64_t b = 0; b < nb; ++b) {
     for (int s = 0; s < kSlots; ++s) {
       packed[b * 8 + s] = 0;
@@ -567,7 +571,7 @@ int64_t nvt_cuckoo_build(const int32_t* keys, const int32_t* vals, int64_t n,
     int32_t k = keys[i];
     int32_t v = vals[i];
     uint32_t u = static_cast<uint32_t>(k);
-    uint32_t cb = mix32(u) & mask;
+    uint32_t cb = mix32(u) % nbu;
     bool placed = false;
     for (int attempt = 0; attempt < 500; ++attempt) {
       int32_t* row = packed + static_cast<int64_t>(cb) * 8;
@@ -594,8 +598,8 @@ int64_t nvt_cuckoo_build(const int32_t* keys, const int32_t* vals, int64_t n,
       k = ek;
       v = ev;
       u = static_cast<uint32_t>(k);
-      uint32_t h1 = mix32(u) & mask;
-      uint32_t h2 = mix32(u ^ kCuckooSeed2) & mask;
+      uint32_t h1 = mix32(u) % nbu;
+      uint32_t h2 = mix32(u ^ kCuckooSeed2) % nbu;
       cb = (cb == h1) ? h2 : h1;
     }
     if (!placed) return 0;

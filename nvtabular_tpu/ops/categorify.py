@@ -1204,10 +1204,10 @@ class Categorify(StatOperator):
         where bin_key is "<kind>#<i>".
 
         Concats are SIZE-CAPPED into bins (NVT_BATCHED_CONCAT_LIMIT bytes,
-        default 192 MB): gather cost on v5e grows with the operand array's
-        size (kernels/README.md — a 1.75 GB concat gathers ~5x slower than
-        ≤100 MB arrays), so at Criteo-scale vocabularies several
-        medium-sized gathers beat one giant one; at small vocabs everything
+        default 48 MB): v5e row-gathers run ~180 M probes/s while the
+        operand stays under ~48 MB / 1.5M rows and cliff to ~66 M/s past
+        it (bench/lookup_probe.py, kernels/README.md), so several
+        fast-regime gathers beat one giant one; at small vocabs everything
         lands in one bin and the behavior is the round-1 single-gather."""
         from .lookup import (
             BatchedCuckoo,
@@ -1249,7 +1249,7 @@ class Categorify(StatOperator):
             "stash": BatchedStash,
             "cuckoo": BatchedCuckoo,
         }
-        limit = int(os.environ.get("NVT_BATCHED_CONCAT_LIMIT", 192 * 1024 * 1024))
+        limit = int(os.environ.get("NVT_BATCHED_CONCAT_LIMIT", 48 * 1024 * 1024))
         for kind, entries in by_kind.items():
             if not entries:
                 continue

@@ -100,7 +100,26 @@ class DirectLookup:
 
 
 class CuckooLookup:
-    """Bucketed cuckoo hash table: two packed row-gathers per query."""
+    """Bucketed cuckoo hash table: two packed row-gathers per query.
+
+    Round-2 v5e measurements (bench/lookup_probe.py, kernels/README.md)
+    reshaped this structure:
+
+    * 8-lane (4-slot) row-gathers run ~180 M probes/s for operands up to
+      ~48 MB / 1.5M rows, then cliff to ~66 M/s; 16-lane rows are SLOWER
+      at equal bytes (~120 M/s plateau). So buckets stay 4-slot/8-lane
+      and every operand must stay under the cliff.
+    * ``h % nb`` range reduction costs the same as ``h & (nb-1)`` on both
+      numpy and XLA, so bucket counts are EXACT (ceil(n/(4*load))), not
+      power-of-two — pow2 rounding inflated a 4M-key table from 45 MB to
+      64 MB, right past the cliff.
+    * two independent fast-regime gathers overlap (~1.15-1.35x one, not
+      2x), which is why 2-probe cuckoo at load ~0.8 (10 B/key) beats the
+      1-probe+stash layouts: the stash gather costs the same as the
+      second cuckoo probe, but the stash layout needs ~1.5x the bytes.
+    * XLA's gather emitter has a slow pocket (~74 M/s) for operands of
+      roughly 230-300K rows; ``_safe_nb`` sizes around it.
+    """
 
     __slots__ = ("packed", "nb")
 
@@ -120,14 +139,14 @@ class CuckooLookup:
     def encode_np(self, values: np.ndarray, miss_codes: np.ndarray) -> np.ndarray:
         v32 = values.astype(np.int32)
         u = v32.view(np.uint32) if v32.flags["C_CONTIGUOUS"] else v32.astype(np.uint32)
-        mask = np.uint32(self.nb - 1)
+        nb = np.uint32(self.nb)
         out = np.asarray(miss_codes).astype(np.int32)
         if out.ndim == 0:
             out = np.full(v32.shape, out, dtype=np.int32)
         else:
             out = out.copy()
         for seed in (np.uint32(0), _SEED2):
-            b = (_mix32_np(u, seed) & mask).astype(np.int64)
+            b = (_mix32_np(u, seed) % nb).astype(np.int64)
             rows = self.packed[b]  # [N, 8]
             for s in range(_BUCKET_SLOTS):
                 hit = (rows[:, s] == v32) & (rows[:, _BUCKET_SLOTS + s] >= 0)
@@ -139,10 +158,10 @@ class CuckooLookup:
 
         v = values.astype(jnp.int32)
         u = v.view(jnp.uint32) if hasattr(v, "view") else v.astype(jnp.uint32)
-        mask = jnp.uint32(self.nb - 1)
+        nb = jnp.uint32(self.nb)
         out = jnp.broadcast_to(jnp.asarray(miss_codes, jnp.int32), v.shape)
         for seed in (0, int(_SEED2)):
-            b = (_mix32_jnp(u, seed) & mask).astype(jnp.int32)
+            b = (_mix32_jnp(u, seed) % nb).astype(jnp.int32)
             rows = jnp.take(packed_dev, b, axis=0)  # [N, 8] one row-gather
             for s in range(_BUCKET_SLOTS):
                 hit = (rows[:, s] == v) & (rows[:, _BUCKET_SLOTS + s] >= 0)
@@ -298,22 +317,39 @@ def build_direct(
     return DirectLookup(mn, mx, table)
 
 
+# XLA's gather emitter drops from ~180 to ~74 M probes/s for operands of
+# roughly 230-300K rows regardless of row width (measured on v5e,
+# bench/lookup_probe.py); exact sizing lets us simply step over the pocket.
+_POCKET_LO, _POCKET_HI = 225_000, 301_000
+
+_CUCKOO_LOAD = 0.8  # 10 B/key; 2-choice 4-slot placement succeeds to ~0.95
+
+
+def _safe_nb(nb: int) -> int:
+    if _POCKET_LO <= nb <= _POCKET_HI:
+        return _POCKET_HI + 1
+    return max(nb, 1)
+
+
 def build_cuckoo(values: np.ndarray, codes: np.ndarray) -> Optional[CuckooLookup]:
     """Bucketed cuckoo build (vectorized greedy passes + eviction loop for
-    stragglers). Keys must fit int32 (the device input width); else None."""
+    stragglers) at EXACT bucket count ceil(n / (4 * load)) — modulo range
+    reduction makes non-pow2 counts free, and minimal operand bytes keep
+    the table in the fast gather regime (see CuckooLookup docstring).
+    Keys must fit int32 (the device input width); else None."""
     v64 = values.astype(np.int64)
     if len(v64) and (v64.min() < np.iinfo(np.int32).min or v64.max() > np.iinfo(np.int32).max):
         return None
     keys = v64.astype(np.int32)
     vals = codes.astype(np.int32)
     n = len(keys)
-    nb = max(_next_pow2(int(np.ceil(n / (_BUCKET_SLOTS * 0.6))) or 1), 1)
-    for _ in range(4):  # grow on (rare) build failure
+    nb = _safe_nb(int(np.ceil(n / (_BUCKET_SLOTS * _CUCKOO_LOAD))) or 1)
+    for _ in range(6):  # grow gently on (rare) build failure
         packed = _try_build_cuckoo(keys, vals, nb)
         if packed is not None:
             return CuckooLookup(packed, nb)
-        nb *= 2
-    raise RuntimeError("cuckoo build failed after 4 capacity doublings")
+        nb = _safe_nb(int(nb * 1.3) + 1)
+    raise RuntimeError("cuckoo build failed after 6 capacity growths")
 
 
 def _try_build_cuckoo(keys: np.ndarray, vals: np.ndarray, nb: int) -> Optional[np.ndarray]:
@@ -350,10 +386,10 @@ def _try_build_cuckoo_native(keys, vals, nb):
 def _try_build_cuckoo_numpy(
     keys: np.ndarray, vals: np.ndarray, nb: int, seeds=(np.uint32(0), _SEED2)
 ) -> Optional[np.ndarray]:
-    mask = np.uint32(nb - 1)
+    nbu = np.uint32(nb)
     u = keys.view(np.uint32)
-    b1 = (_mix32_np(u, seeds[0]) & mask).astype(np.int64)
-    b2 = (_mix32_np(u, seeds[1]) & mask).astype(np.int64)
+    b1 = (_mix32_np(u, seeds[0]) % nbu).astype(np.int64)
+    b2 = (_mix32_np(u, seeds[1]) % nbu).astype(np.int64)
 
     bkeys = np.full((nb, _BUCKET_SLOTS), 0, dtype=np.int32)
     bvals = np.full((nb, _BUCKET_SLOTS), _EMPTY, dtype=np.int32)
@@ -402,8 +438,8 @@ def _try_build_cuckoo_numpy(
             bkeys[cb, s] = k
             bvals[cb, s] = val
             k, val = ek, ev
-            h1 = int(_mix32_np(np.array([k], dtype=np.int32).view(np.uint32), seeds[0])[0] & mask)
-            h2 = int(_mix32_np(np.array([k], dtype=np.int32).view(np.uint32), seeds[1])[0] & mask)
+            h1 = int(_mix32_np(np.array([k], dtype=np.int32).view(np.uint32), seeds[0])[0] % nbu)
+            h2 = int(_mix32_np(np.array([k], dtype=np.int32).view(np.uint32), seeds[1])[0] % nbu)
             cb = h2 if cb == h1 else h1
         else:
             return None  # build failure → grow
@@ -414,13 +450,27 @@ class BatchedDirect:
     """Column-batched direct lookup: N columns' dense tables concatenated
     into ONE array so the whole Categorify op is a single gather.
 
-    encode: idx = clip(v - mins[:,None], 0, lens[:,None]-1) + offs[:,None];
-    codes = concat_table[idx]."""
+    The concat is stored as [ceil(T/8), 8] ROWS and probed with a
+    row-gather + lane select: element-gathers measured ~111 M probes/s on
+    v5e vs ~180 M/s for 8-lane row-gathers at the same operand size
+    (bench/gather_probe.py), so fetching the 8-element row containing the
+    slot and selecting the lane on the VPU is ~1.6x faster. The flat slot
+    index is unchanged: row = slot >> 3, lane = slot & 7."""
 
     __slots__ = ("concat", "mins", "maxs", "lens", "offs")
 
     def __init__(self, luts):
-        self.concat = np.concatenate([l.table for l in luts])
+        flat = np.concatenate([l.table for l in luts])
+        pad = (-len(flat)) % 8
+        if pad:
+            flat = np.concatenate([flat, np.full(pad, _EMPTY, dtype=np.int32)])
+        rows = flat.reshape(-1, 8)
+        total = rows.shape[0]
+        if _POCKET_LO <= total <= _POCKET_HI:  # emitter slow pocket: pad past
+            rows = np.concatenate(
+                [rows, np.full((_POCKET_HI + 1 - total, 8), _EMPTY, np.int32)]
+            )
+        self.concat = rows
         self.mins = np.array([l.min_key for l in luts], dtype=np.int32)
         self.maxs = np.array([l.max_key for l in luts], dtype=np.int32)
         self.lens = np.array([len(l.table) for l in luts], dtype=np.int32)
@@ -437,7 +487,11 @@ class BatchedDirect:
         mins = jnp.asarray(self.mins[sel])[:, None]
         idx = jnp.clip(v - mins, 0, jnp.asarray(self.lens[sel])[:, None] - 1)
         idx = idx + jnp.asarray(self.offs[sel])[:, None]
-        codes = jnp.take(concat_dev, idx)
+        rows = jnp.take(concat_dev, idx >> 3, axis=0)  # [C, N, 8] row-gather
+        lane = (idx & 7)[..., None]
+        codes = jnp.sum(
+            jnp.where(lane == jnp.arange(8, dtype=jnp.int32), rows, 0), axis=-1
+        )
         hit = (v >= mins) & (v <= jnp.asarray(self.maxs[sel])[:, None]) & (codes >= 0)
         return jnp.where(hit, codes, miss_codes)
 
@@ -512,12 +566,21 @@ class BatchedStash:
 
 class BatchedCuckoo:
     """Column-batched cuckoo lookup: per-column bucket arrays stacked along
-    rows; TWO row-gathers serve every column at once."""
+    rows; TWO row-gathers serve every column at once. The gather OPERAND is
+    the concat, so if its total row count lands in the emitter's slow
+    pocket (_POCKET_LO.._POCKET_HI rows) it is padded past the pocket with
+    empty rows (codes -1 never match)."""
 
     __slots__ = ("concat", "nbs", "row_offs")
 
     def __init__(self, luts):
-        self.concat = np.concatenate([l.packed for l in luts], axis=0)
+        concat = np.concatenate([l.packed for l in luts], axis=0)
+        total = concat.shape[0]
+        if _POCKET_LO <= total <= _POCKET_HI:
+            pad = np.zeros((_POCKET_HI + 1 - total, concat.shape[1]), np.int32)
+            pad[:, _BUCKET_SLOTS:] = _EMPTY
+            concat = np.concatenate([concat, pad], axis=0)
+        self.concat = concat
         self.nbs = np.array([l.nb for l in luts], dtype=np.int32)
         self.row_offs = np.zeros(len(luts), dtype=np.int32)
         np.cumsum(self.nbs[:-1], out=self.row_offs[1:])
@@ -528,11 +591,11 @@ class BatchedCuckoo:
         sel = slice(None) if sel is None else np.asarray(sel)
         v = values.astype(jnp.int32)
         u = v.view(jnp.uint32)
-        masks = (jnp.asarray(self.nbs[sel]) - 1).astype(jnp.uint32)[:, None]
+        nbs_col = jnp.asarray(self.nbs[sel]).astype(jnp.uint32)[:, None]
         row_offs = jnp.asarray(self.row_offs[sel])[:, None]
         out = jnp.broadcast_to(jnp.asarray(miss_codes, jnp.int32), v.shape)
         for seed in (0, int(_SEED2)):
-            b = (_mix32_jnp(u, seed) & masks).astype(jnp.int32) + row_offs
+            b = (_mix32_jnp(u, seed) % nbs_col).astype(jnp.int32) + row_offs
             rows = jnp.take(concat_dev, b, axis=0)  # [C, N, 8]
             for s in range(_BUCKET_SLOTS):
                 hit = (rows[..., s] == v) & (rows[..., _BUCKET_SLOTS + s] >= 0)
@@ -543,8 +606,10 @@ class BatchedCuckoo:
 def build_lookup(values: np.ndarray, codes: np.ndarray):
     """Best available exact-lookup structure for integer keys, or None
     (caller falls back to searchsorted / host path). Preference order:
-    direct (1 element-gather) → primary+stash (1 big row-gather + 2 cached
-    stash gathers) → bucketed cuckoo (2 row-gathers)."""
+    direct (1 element-gather) → bucketed cuckoo at high load (2 row-gathers
+    on a minimal operand; see the round-2 measurements in CuckooLookup's
+    docstring for why this beats the stash layouts everywhere once bins are
+    capped in the fast gather regime)."""
     if len(values) == 0:
         return None
     if values.dtype.kind not in ("i", "u"):
@@ -552,7 +617,4 @@ def build_lookup(values: np.ndarray, codes: np.ndarray):
     direct = build_direct(values, codes)
     if direct is not None:
         return direct
-    stash = build_stash(values, codes)
-    if stash is not None:
-        return stash
     return build_cuckoo(values, codes)

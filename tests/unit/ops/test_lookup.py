@@ -88,10 +88,32 @@ def test_device_parity():
 def test_build_lookup_choice():
     codes = np.array([2, 3, 4], dtype=np.int32)
     assert isinstance(build_lookup(np.array([5, 6, 7]), codes), DirectLookup)
+    # sparse wide-range int keys: exact-sized 2-probe cuckoo (round-2 probe
+    # data: 2 fast-regime gathers beat 1-probe-plus-stash layouts)
     assert isinstance(
-        build_lookup(np.array([5, 6, 2_000_000_000]), codes), StashLookup
+        build_lookup(np.array([5, 6, 2_000_000_000]), codes), CuckooLookup
     )
     assert build_lookup(np.array(["a", "b", "c"], dtype=object), codes) is None
+
+
+def test_cuckoo_exact_sizing_and_pocket_avoidance():
+    """Bucket counts are exact (no pow2 rounding: a 4M-key table must stay
+    under the ~48MB fast-gather cliff) and never land in the 225-301K-row
+    emitter pocket."""
+    from nvtabular_tpu.ops.lookup import _CUCKOO_LOAD, _POCKET_HI, _POCKET_LO
+
+    rng = np.random.default_rng(5)
+    n = 300_000
+    keys = rng.choice(1 << 31, n, replace=False).astype(np.int64) - (1 << 30)
+    codes = np.arange(3, 3 + n, dtype=np.int32)
+    lut = build_cuckoo(keys, codes)
+    ideal = int(np.ceil(n / (4 * _CUCKOO_LOAD)))
+    assert lut.nb < 2 * ideal, "pow2-style inflation crept back in"
+    assert not (_POCKET_LO <= lut.nb <= _POCKET_HI)
+    # spot-check exactness at this load
+    q = np.concatenate([keys[:5000], rng.integers(-(1 << 30), 1 << 30, 5000)])
+    got = lut.encode_np(q, np.int32(-7))
+    np.testing.assert_array_equal(got, _ref_encode(keys, codes, q))
 
 
 def test_stash_lookup_matches_reference():
