@@ -299,6 +299,43 @@ int64_t nvt_cache_size() {
 
 }  // extern "C" (templates need C++ linkage; wrappers reopen it below)
 
+// Row gather by int64 indices (the shuffle permutation in the parquet
+// writer — reference shuffles via cudf/dask sample_groups). numpy's fancy
+// indexing holds the GIL; this releases it, so per-file writer threads
+// permute columns concurrently. Blocked software prefetch: the index
+// stream is random, each access a DRAM miss without it (same treatment as
+// the hash probes above).
+template <typename T>
+static void gather_rows(const T* src, const int64_t* idx, T* out, int64_t n) {
+  constexpr int64_t kBlock = 16;
+  int64_t i = 0;
+  for (; i + kBlock <= n; i += kBlock) {
+    for (int64_t j = 0; j < kBlock; ++j)
+      __builtin_prefetch(src + idx[i + j], 0, 0);
+    for (int64_t j = 0; j < kBlock; ++j) out[i + j] = src[idx[i + j]];
+  }
+  for (; i < n; ++i) out[i] = src[idx[i]];
+}
+
+extern "C" {
+
+void nvt_gather4(const void* src, const int64_t* idx, void* out, int64_t n) {
+  gather_rows<int32_t>(static_cast<const int32_t*>(src), idx,
+                       static_cast<int32_t*>(out), n);
+}
+
+void nvt_gather8(const void* src, const int64_t* idx, void* out, int64_t n) {
+  gather_rows<int64_t>(static_cast<const int64_t*>(src), idx,
+                       static_cast<int64_t*>(out), n);
+}
+
+void nvt_gather1(const void* src, const int64_t* idx, void* out, int64_t n) {
+  gather_rows<uint8_t>(static_cast<const uint8_t*>(src), idx,
+                       static_cast<uint8_t*>(out), n);
+}
+
+}  // extern "C"
+
 // The normalize stage is (v - sub) / div — the exact expression the Python
 // Normalize/NormalizeMinMax transforms evaluate — so fused results match the
 // unfused float rounding bit-for-bit (a scale/shift refactoring would not).

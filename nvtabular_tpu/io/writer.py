@@ -61,21 +61,34 @@ class ParquetWriter:
         self._writers[idx].write_table(table, row_group_size=self.row_group_size)
 
     def append_split(self, batch: TableBatch, perm=None):
-        """Split one batch evenly across all output files (parallel encode)."""
-        if perm is not None:
-            batch = batch.take(perm)
+        """Split one batch evenly across all output files (parallel encode).
+
+        A shuffle ``perm`` is NOT materialized up front: each per-file pool
+        task gathers ITS slice of the permutation (Column.take → native
+        GIL-releasing gather), so the permute, the arrow conversion, and
+        the parquet encode of all files run concurrently on all cores."""
         n = batch.num_rows
         if n == 0:
             return
         per = max(1, n // self.num_files)
-        pieces = []
+        pieces = []  # (file_idx, batch | (batch, perm_slice))
         start = 0
         for i in range(self.num_files):
             length = per if i < self.num_files - 1 else n - start
             if length <= 0:
                 break
-            pieces.append((i, batch.slice(start, length)))
+            if perm is not None:
+                pieces.append((i, (batch, perm[start : start + length])))
+            else:
+                pieces.append((i, batch.slice(start, length)))
             start += length
+
+        def materialize(p):
+            if isinstance(p, tuple):
+                b, idx = p
+                return b.take(idx)
+            return p
+
         if len(pieces) > 1:
             if self._pool is None:
                 import concurrent.futures as cf
@@ -84,10 +97,14 @@ class ParquetWriter:
                     max_workers=min(8, self.num_files), thread_name_prefix="nvt-write"
                 )
             # one in-flight append per file → per-file writers never race
-            list(self._pool.map(lambda p: self._write(p[0], p[1].to_arrow()), pieces))
+            list(
+                self._pool.map(
+                    lambda p: self._write(p[0], materialize(p[1]).to_arrow()), pieces
+                )
+            )
         else:
             for i, piece in pieces:
-                self._write(i, piece.to_arrow())
+                self._write(i, materialize(piece).to_arrow())
 
     def close(self) -> List[str]:
         if self._pool is not None:

@@ -128,6 +128,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.c_int32,
         ctypes.c_int32, ctypes.c_double, ctypes.c_double,
     ]
+    vp = ctypes.c_void_p
+    for name in ("nvt_gather1", "nvt_gather4", "nvt_gather8"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [vp, i64p, vp, ctypes.c_int64]
 
 
 def native_available() -> bool:
@@ -378,6 +383,37 @@ class FillTransform:
                 )
                 out[name] = vals
         return out
+
+
+_GATHER_BY_ITEMSIZE = {1: "nvt_gather1", 4: "nvt_gather4", 8: "nvt_gather8"}
+
+
+def take_rows(values: "np.ndarray", indices: "np.ndarray") -> Optional["np.ndarray"]:
+    """GIL-releasing row gather (shuffle permutations): out[i] =
+    values[indices[i]]. Returns None when the native library or the dtype's
+    itemsize is unsupported — caller falls back to numpy fancy indexing.
+    Indices must already be in range (callers pass permutations)."""
+    import ctypes as ct
+
+    if values.dtype.kind not in "iufb":  # NEVER object/str: refcounted ptrs
+        return None
+    name = _GATHER_BY_ITEMSIZE.get(values.dtype.itemsize)
+    if name is None or values.ndim != 1:
+        return None
+    try:
+        lib = _build_and_load()
+    except RuntimeError:
+        return None
+    arr = np.ascontiguousarray(values)
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    out = np.empty(len(idx), dtype=arr.dtype)
+    getattr(lib, name)(
+        arr.ctypes.data_as(ct.c_void_p),
+        idx.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out.ctypes.data_as(ct.c_void_p),
+        len(idx),
+    )
+    return out
 
 
 def cont_pipe(

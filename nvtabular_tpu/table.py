@@ -141,8 +141,26 @@ class Column:
         """Gather rows by index (host path supports lists; device scalars only)."""
         indices = _asarray(indices)
         if not self.is_list:
-            vals = self.values[indices]
-            valid = self.validity[indices] if self.validity is not None else None
+            vals = valid = None
+            if (
+                isinstance(self.values, np.ndarray)
+                and isinstance(indices, np.ndarray)
+                and indices.dtype.kind in "iu"
+            ):
+                # GIL-releasing native gather: shuffle permutations run
+                # thread-parallel in the parquet writer pool
+                try:
+                    from .serving.native import take_rows
+
+                    vals = take_rows(self.values, indices)
+                    if vals is not None and self.validity is not None:
+                        valid = take_rows(self.validity, indices)
+                except Exception:
+                    vals = valid = None
+            if vals is None:
+                vals = self.values[indices]
+            if valid is None and self.validity is not None:
+                valid = self.validity[indices]
             return Column(vals, None, valid)
         # list column gather (host path)
         offs = np.asarray(self.offsets)
