@@ -3,10 +3,11 @@
 Records where the direct (1 gather) → cuckoo (2 row-gather) lookup
 crossover lands and how the device transform rate responds — the measured
 counterpart of the reference's cardinality-scaling claims
-(reference bench/examples/MultiGPUBench.md). Gather cost on v5e tracks the
-OPERAND array size (kernels/README.md): flat ~0.12 G lookups/s while
-tables stay ≤32 MB, then latency-bound decay — the sweep shows where each
-lookup layout (direct / primary+stash / cuckoo) leaves the fast regime.
+(reference bench/examples/MultiGPUBench.md). Gather cost on v5e: ~180M
+probes/s while each concat bin stays ≤48 MB / 1.5M rows, ~66M/s past the
+cliff (kernels/README.md) — exact-sized modulo cuckoo tables at load 0.8
+plus 48MB binning keep every cardinality in the fast regime up to ~4.3M
+keys per column; the sweep shows the rate across that range.
 
 Two key layouts per cardinality:
 - dense:  ids in [0, card)            → DirectLookup while range permits
