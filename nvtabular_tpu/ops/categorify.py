@@ -599,6 +599,7 @@ class Categorify(StatOperator):
         split_out=None,
         split_every=None,
         cardinality_memory_limit=None,
+        name_sep: str = "_",
         **kwargs,
     ):
         super().__init__()
@@ -614,6 +615,7 @@ class Categorify(StatOperator):
         self.num_buckets = num_buckets
         self.single_table = single_table
         self.search_sorted = search_sorted
+        self.name_sep = name_sep
         # accepted for API parity; partitioning is handled by the engine
         self.split_out = split_out
         self.split_every = split_every
@@ -641,7 +643,7 @@ class Categorify(StatOperator):
         groups: List[Tuple[str, List[str]]] = []
         for entry in col_selector.grouped_names:
             if isinstance(entry, tuple):
-                key = "_".join(entry)
+                key = self.name_sep.join(entry)
                 groups.append((key, list(entry)))
             else:
                 groups.append((entry, [entry]))
@@ -1496,6 +1498,7 @@ class Categorify(StatOperator):
             "num_buckets": self.num_buckets,
             "single_table": self.single_table,
             "search_sorted": self.search_sorted,
+            "name_sep": self.name_sep,
         }
 
     def serialize_state(self):
