@@ -67,18 +67,34 @@ class Workflow:
         if self.graph.output_schema is None:
             self.graph.construct_schema(dataset.schema)
         self._check_fitted()
+        ds_schema = dataset.schema
+        if ds_schema is not None and ds_schema.column_names:
+            self._check_input_columns(ds_schema.column_names)
         return TransformedDataset(dataset, self)
 
     def _transform_batch(self, batch: TableBatch) -> TableBatch:
         if self.graph.output_schema is None:
             self.graph.construct_schema(batch.infer_schema())
         self._check_fitted()
+        self._check_input_columns(batch.column_names)
         from ..dag.executor import _enforce_dtypes
 
         out = self.executor.transform_batch(batch, self.graph.output_node)
         # restore schema dtypes where possible (device execution narrows
         # 64-bit passthrough columns; host results upcast back here)
         return _enforce_dtypes(out, self.output_dtypes)
+
+    def _check_input_columns(self, available):
+        """Transforming data that lacks fitted-schema input columns must
+        fail loudly (the reference fails via dask column selection,
+        workflow.py:239) — silently dropping a branch corrupts output."""
+        needed = self._input_columns
+        missing = [c for c in needed if c not in set(available)]
+        if missing:
+            raise ValueError(
+                f"Data to transform is missing input columns {missing}; "
+                f"the fitted workflow requires {needed}."
+            )
 
     def _check_fitted(self):
         unfitted = [
@@ -114,8 +130,20 @@ class Workflow:
 
     @property
     def _input_columns(self) -> List[str]:
-        schema = self.input_schema
-        return schema.column_names if schema else []
+        """Root columns the graph actually selects (leaf selectors, tuples
+        flattened) — NOT the full fitted dataset schema, so transforming a
+        frame that lacks unselected columns stays legal."""
+        cols: List[str] = []
+        seen = set()
+        for node in self.graph.leaf_nodes:
+            if node.selector is None:
+                continue
+            for name in node.selector.names:
+                for flat in name if isinstance(name, tuple) else (name,):
+                    if flat not in seen:
+                        seen.add(flat)
+                        cols.append(flat)
+        return cols
 
     # --- graph edits ------------------------------------------------------
     def remove_inputs(self, input_cols: List[str]) -> "Workflow":
