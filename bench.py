@@ -48,8 +48,8 @@ BASELINE_ROWS_PER_SEC = 5.6e6
 
 NUM_CATS = 26
 NUM_CONTS = 13
-ROWS_PER_PART = int(os.environ.get("NVT_BENCH_ROWS_PER_PART", 1 << 19))  # 512K
-NUM_PARTS = int(os.environ.get("NVT_BENCH_PARTS", 8))  # hetero split granularity
+ROWS_PER_PART = int(os.environ.get("NVT_BENCH_ROWS_PER_PART", 1 << 18))  # 256K
+NUM_PARTS = int(os.environ.get("NVT_BENCH_PARTS", 16))  # hetero split granularity
 
 # Per-column id-space sizes. The baseline number (13 min / 1x V100,
 # reference README.md:33) is measured on the REAL Criteo Terabyte dataset,
@@ -154,8 +154,15 @@ def main():
     import threading
 
     from nvtabular_tpu.dag.executor import LocalExecutor
+    from nvtabular_tpu.dag.host_fuse import FusedHostExecutor
 
-    host_executor = LocalExecutor()
+    # the host engine is the FUSED executor (single native pass per cont
+    # chain + thread-parallel C++ hash encodes) — the same engine the
+    # hetero streaming executor routes host batches through
+    if os.environ.get("NVT_HOST_FUSE", "1") != "0":
+        host_executor = FusedHostExecutor()
+    else:
+        host_executor = LocalExecutor()
 
     def run_pass(n_host: int):
         host_batches = batches[:n_host]
@@ -187,11 +194,14 @@ def main():
     run_pass(len(batches))
     print(f"bench: host warm in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # sweep the host/device split (cuckoo tables + the prefetched C++ host
-    # encode shift the optimum vs the old all-direct 50K-cardinality
-    # workload), then repeat the best split
+    # sweep the host/device split — including host-only (the fused host
+    # engine can beat the single-chip device path outright, so the sweep
+    # must reach both endpoints; optimum sits near
+    # host_rate/(host_rate+device_rate) of the stream on the host side
     nb = len(batches)
-    splits = sorted({0, nb * 3 // 8, nb // 2, nb * 5 // 8, nb * 3 // 4})
+    splits = sorted(
+        {0, nb // 2, nb * 5 // 8, nb * 11 // 16, nb * 3 // 4, nb * 13 // 16, nb * 7 // 8, nb}
+    )
     pass_rates = []
     pass_modes = []
     total_rows = 0
@@ -206,7 +216,9 @@ def main():
         elapsed += dt
         pass_rates.append(rows_per_pass / dt)
         pass_modes.append(
-            "device" if mode_host == 0 else f"hetero{mode_host}/{len(batches)}"
+            "device"
+            if mode_host == 0
+            else ("host" if mode_host == len(batches) else f"hetero{mode_host}/{len(batches)}")
         )
         return rows_per_pass / dt
 
