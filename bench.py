@@ -172,14 +172,17 @@ def main():
             for b in host_batches:
                 host_executor.transform_batch(b, out_node)
 
-        th = threading.Thread(target=host_work) if host_batches else None
-        if th:
-            th.start()
+        # dispatch every device batch FIRST (lazy + cheap) so the remote
+        # pipeline fills while the host cores are still quiet; the host
+        # engine then runs concurrently with device execution
         sums = []
         for prep in dev_staged:
             out = executor._dispatch(prep, out_node)
             first = next(iter(out.columns.values())).values
             sums.append(jnp.sum(first[:8].astype(jnp.float32)))
+        th = threading.Thread(target=host_work) if host_batches else None
+        if th:
+            th.start()
         if sums:
             float(sum(float(s) for s in sums))  # force device execution
         if th:

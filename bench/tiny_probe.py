@@ -80,7 +80,10 @@ def main():
     miss_dev = jax.device_put(np.full((C, N), 2, dtype=np.int32))
     PRIME = np.int32(2654435761 & 0x7FFFFFFF)
 
-    for v in (8, 64, 256, 1024, 2048, 4096, 8192, 16384):
+    v_sweep = tuple(
+        int(x) for x in os.environ.get("NVT_PROBE_V", "64,512,2048,4096,8192").split(",")
+    )
+    for v in v_sweep:
         keys = np.stack(
             [rng.choice(1 << 30, size=v, replace=False).astype(np.int32) for _ in range(C)]
         )

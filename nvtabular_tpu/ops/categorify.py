@@ -73,7 +73,10 @@ def _shared_pool():
     if _POOL is None:
         import concurrent.futures as cf
 
-        _POOL = cf.ThreadPoolExecutor(max_workers=8, thread_name_prefix="nvt-encode")
+        workers = int(os.environ.get("NVT_ENCODE_THREADS", 8))
+        _POOL = cf.ThreadPoolExecutor(
+            max_workers=workers, thread_name_prefix="nvt-encode"
+        )
     return _POOL
 
 
@@ -1215,8 +1218,11 @@ class Categorify(StatOperator):
             BatchedCuckoo,
             BatchedDirect,
             BatchedStash,
+            BatchedTiny,
             DirectLookup,
             StashLookup,
+            TinyLookup,
+            _next_pow2,
         )
 
         if self._memory_limit_bytes() is not None:
@@ -1227,6 +1233,7 @@ class Categorify(StatOperator):
         if self._batched_cache is not None and self._batched_cache[0] == token:
             return self._batched_cache[1]
         by_kind: Dict[str, List[Tuple[str, Any]]] = {
+            "tiny": [],
             "direct": [],
             "stash": [],
             "cuckoo": [],
@@ -1238,7 +1245,9 @@ class Categorify(StatOperator):
             lut = vocab.lookup_struct() if len(vocab.values_by_code) else None
             if lut is None:
                 continue
-            if isinstance(lut, DirectLookup):
+            if isinstance(lut, TinyLookup):
+                kind = "tiny"
+            elif isinstance(lut, DirectLookup):
                 kind = "direct"
             elif isinstance(lut, StashLookup):
                 kind = "stash"
@@ -1247,6 +1256,7 @@ class Categorify(StatOperator):
             by_kind[kind].append((vkey, lut))
         out = {}
         builders = {
+            "tiny": BatchedTiny,
             "direct": BatchedDirect,
             "stash": BatchedStash,
             "cuckoo": BatchedCuckoo,
@@ -1255,25 +1265,36 @@ class Categorify(StatOperator):
         for kind, entries in by_kind.items():
             if not entries:
                 continue
-            # First-fit-DECREASING by table bytes (ties broken by vkey for
-            # determinism): real tabular data is size-skewed — Criteo has
-            # ~5 multi-million-key columns and ~21 tiny ones — and gather
-            # cost tracks the operand array's size (kernels/README.md), so
-            # the small tables must share a small cached-regime bin rather
-            # than interleave with the big tables' bins.
-            entries = sorted(entries, key=lambda e: (-e[1].nbytes, e[0]))
-            bins: List[List[Tuple[str, Any]]] = [[]]
-            bin_sizes = [0]
-            for vkey, lut in entries:
-                nb = lut.nbytes
-                for i, used in enumerate(bin_sizes):
-                    if not bins[i] or used + nb <= limit:
-                        bins[i].append((vkey, lut))
-                        bin_sizes[i] += nb
-                        break
-                else:
-                    bins.append([(vkey, lut)])
-                    bin_sizes.append(nb)
+            if kind == "tiny":
+                # compare-select cost is C x N x vmax: members pad to the
+                # bin's max vocab size, so bins group by pow2 SIZE CLASS
+                # (padding waste ≤ 2x) rather than by bytes
+                classes: Dict[int, List[Tuple[str, Any]]] = {}
+                for vkey, lut in entries:
+                    cls = _next_pow2(max(len(lut.keys), 1))
+                    classes.setdefault(cls, []).append((vkey, lut))
+                bins = [classes[c] for c in sorted(classes)]
+            else:
+                # First-fit-DECREASING by table bytes (ties broken by vkey
+                # for determinism): real tabular data is size-skewed —
+                # Criteo has ~5 multi-million-key columns and ~21 tiny ones
+                # — and gather cost tracks the operand array's size
+                # (kernels/README.md), so the small tables must share a
+                # small cached-regime bin rather than interleave with the
+                # big tables' bins.
+                entries = sorted(entries, key=lambda e: (-e[1].nbytes, e[0]))
+                bins = [[]]
+                bin_sizes = [0]
+                for vkey, lut in entries:
+                    nb = lut.nbytes
+                    for i, used in enumerate(bin_sizes):
+                        if not bins[i] or used + nb <= limit:
+                            bins[i].append((vkey, lut))
+                            bin_sizes[i] += nb
+                            break
+                    else:
+                        bins.append([(vkey, lut)])
+                        bin_sizes.append(nb)
             for bi, bin_entries in enumerate(bins):
                 luts = [l for _, l in bin_entries]
                 blut = builders[kind](luts)

@@ -6,6 +6,10 @@ slower than one gather). Random-access gathers on TPU run at a fixed ~0.1G
 rows/s regardless of row width or table size, so the optimal lookup does
 exactly ONE gather when possible and never more than two:
 
+* ``TinyLookup`` — vocabularies of ≤ _TINY_MAX keys skip the gather unit
+  entirely: a VPU broadcast-compare against all keys + max-reduce of the
+  matching codes (measured faster than 2 gather-probes up to ~6K keys on
+  v5e, AND it frees the gather unit for the fused big-vocab columns).
 * ``DirectLookup`` — when the vocabulary's integer key range is compact,
   a dense ``table[key - min]`` array gives one element-gather per query.
 * ``CuckooLookup`` — arbitrary int32 keys: bucketed cuckoo hash table
@@ -60,6 +64,107 @@ def _mix32_jnp(x, seed):
     h = h * jnp.uint32(0xC2B2AE35)
     h = h ^ (h >> 16)
     return h
+
+
+# compare-select threshold: vocabularies at or below this many keys encode
+# on the VPU (broadcast compare + max-reduce) instead of the gather unit.
+# Measured on v5e (bench/tiny_probe.py, 256K-row batches, 8 columns):
+#   v=64: 449 M lookups/s   v=512: 337 M/s   v=2048: 248 M/s
+#   v=4096: 168 M/s         v=8192: 91 M/s   (2-probe cuckoo: ~135 M/s flat)
+# Crossover ~6K; 4096 is kept as the default because compare-select also
+# runs on an otherwise-idle unit — every tiny column moved off the gather
+# unit gives its addressing budget to the big-vocab columns it is fused
+# with (the transform is gather-rate bound, kernels/README.md).
+import os as _os
+
+_TINY_MAX = int(_os.environ.get("NVT_TINY_LOOKUP_MAX", 4096))
+
+
+class TinyLookup:
+    """VPU compare-select map for tiny vocabularies: codes are found by
+    broadcast-comparing the value stream against ALL keys and max-reducing
+    the matching code — zero gather-unit work, exact for arbitrary int32
+    keys. Cost scales with vocab size; ``build_lookup`` gates it at
+    ``_TINY_MAX`` keys (see the measured ladder above)."""
+
+    __slots__ = ("keys", "codes", "_packed")
+
+    def __init__(self, keys: np.ndarray, codes: np.ndarray):
+        order = np.argsort(keys, kind="stable")  # sorted for encode_np
+        self.keys = keys[order].astype(np.int32)
+        self.codes = codes[order].astype(np.int32)
+        # built once: device-state caches are keyed on host-array IDENTITY
+        # (dag/executor.py), so host_table must return a stable object
+        self._packed = np.stack([self.keys, self.codes], axis=1)
+
+    @property
+    def host_table(self) -> np.ndarray:
+        """[v, 2] packed (key, code) rows — the device-state payload."""
+        return self._packed
+
+    @property
+    def nbytes(self) -> int:
+        return self.keys.nbytes + self.codes.nbytes
+
+    def encode_np(self, values: np.ndarray, miss_codes) -> np.ndarray:
+        v32 = values.astype(np.int32)
+        pos = np.searchsorted(self.keys, v32, side="left")
+        pos_c = np.clip(pos, 0, len(self.keys) - 1)
+        hit = self.keys[pos_c] == v32
+        out = np.asarray(miss_codes).astype(np.int32)
+        if out.ndim == 0:
+            out = np.full(v32.shape, out, dtype=np.int32)
+        return np.where(hit, self.codes[pos_c], out)
+
+    def encode_dev(self, table_dev, values, miss_codes):
+        import jax.numpy as jnp
+
+        v = values.astype(jnp.int32)
+        k = table_dev[:, 0]
+        c = table_dev[:, 1]
+        eq = v[..., None] == k
+        out = jnp.max(jnp.where(eq, c, -1), axis=-1)
+        return jnp.where(out >= 0, out, jnp.asarray(miss_codes, jnp.int32))
+
+
+class BatchedTiny:
+    """Column-batched compare-select lookup: member vocabularies pad to the
+    bin's max size and stack into ONE [C, vmax, 2] (key, code) array. The
+    encode is a fused VPU compare + max-reduce over the vmax axis — no
+    gather-unit traffic at all, which is the point: it composes with the
+    cuckoo/direct bins' gathers instead of queueing behind them.
+
+    Pad slots carry code -1 (never selected by the max-reduce: real codes
+    are ≥ 0) and repeat the column's first key, so a pad can never
+    introduce a false match with a foreign key."""
+
+    __slots__ = ("concat", "lens")
+
+    def __init__(self, luts):
+        vmax = max(len(l.keys) for l in luts)
+        C = len(luts)
+        keys = np.zeros((C, vmax), dtype=np.int32)
+        codes = np.full((C, vmax), -1, dtype=np.int32)
+        for i, l in enumerate(luts):
+            v = len(l.keys)
+            keys[i, :v] = l.keys
+            if v and v < vmax:
+                keys[i, v:] = l.keys[0]
+            codes[i, :v] = l.codes
+        self.concat = np.stack([keys, codes], axis=-1)  # [C, vmax, 2]
+        self.lens = np.array([len(l.keys) for l in luts], dtype=np.int32)
+
+    def encode_dev(self, concat_dev, values, miss_codes, sel=None):
+        """values [C, N] int32 → codes [C, N]; ``sel`` picks member rows."""
+        import jax.numpy as jnp
+
+        sub = concat_dev if sel is None else concat_dev[np.asarray(sel)]
+        v = values.astype(jnp.int32)
+        k = sub[..., 0]  # [C, vmax]
+        c = sub[..., 1]
+        eq = v[:, :, None] == k[:, None, :]
+        out = jnp.max(jnp.where(eq, c[:, None, :], -1), axis=-1)
+        return jnp.where(out >= 0, out, miss_codes)
 
 
 class DirectLookup:
@@ -606,14 +711,22 @@ class BatchedCuckoo:
 def build_lookup(values: np.ndarray, codes: np.ndarray):
     """Best available exact-lookup structure for integer keys, or None
     (caller falls back to searchsorted / host path). Preference order:
-    direct (1 element-gather) → bucketed cuckoo at high load (2 row-gathers
-    on a minimal operand; see the round-2 measurements in CuckooLookup's
+    tiny compare-select (≤ _TINY_MAX keys, zero gather-unit work) → direct
+    (1 element-gather) → bucketed cuckoo at high load (2 row-gathers on a
+    minimal operand; see the round-2 measurements in CuckooLookup's
     docstring for why this beats the stash layouts everywhere once bins are
     capped in the fast gather regime)."""
     if len(values) == 0:
         return None
     if values.dtype.kind not in ("i", "u"):
         return None
+    if len(values) <= _TINY_MAX:
+        v64 = values.astype(np.int64)
+        if (
+            v64.min() >= np.iinfo(np.int32).min
+            and v64.max() <= np.iinfo(np.int32).max
+        ):
+            return TinyLookup(v64.astype(np.int32), codes.astype(np.int32))
     direct = build_direct(values, codes)
     if direct is not None:
         return direct

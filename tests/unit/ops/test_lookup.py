@@ -8,6 +8,8 @@ from nvtabular_tpu.ops.lookup import (
     CuckooLookup,
     DirectLookup,
     StashLookup,
+    TinyLookup,
+    _TINY_MAX,
     build_cuckoo,
     build_direct,
     build_lookup,
@@ -87,13 +89,80 @@ def test_device_parity():
 
 def test_build_lookup_choice():
     codes = np.array([2, 3, 4], dtype=np.int32)
-    assert isinstance(build_lookup(np.array([5, 6, 7]), codes), DirectLookup)
-    # sparse wide-range int keys: exact-sized 2-probe cuckoo (round-2 probe
-    # data: 2 fast-regime gathers beat 1-probe-plus-stash layouts)
+    # ≤ _TINY_MAX keys: VPU compare-select, regardless of key spread
+    assert isinstance(build_lookup(np.array([5, 6, 7]), codes), TinyLookup)
     assert isinstance(
-        build_lookup(np.array([5, 6, 2_000_000_000]), codes), CuckooLookup
+        build_lookup(np.array([5, 6, 2_000_000_000]), codes), TinyLookup
     )
     assert build_lookup(np.array(["a", "b", "c"], dtype=object), codes) is None
+    # beyond the tiny threshold: dense range → direct, sparse → cuckoo
+    n = _TINY_MAX + 1
+    big_codes = np.arange(3, 3 + n, dtype=np.int32)
+    assert isinstance(
+        build_lookup(np.arange(n, dtype=np.int64), big_codes), DirectLookup
+    )
+    rng = np.random.default_rng(9)
+    sparse = np.sort(rng.choice(1 << 30, n, replace=False)).astype(np.int64)
+    assert isinstance(build_lookup(sparse, big_codes), CuckooLookup)
+    # tiny keys beyond int32 cannot ride the int32 device stream
+    assert not isinstance(
+        build_lookup(np.array([5, 1 << 40], dtype=np.int64), codes[:2]), TinyLookup
+    )
+
+
+@pytest.mark.parametrize("n", [1, 7, 300, 4096])
+def test_tiny_exact_and_device_parity(n):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    keys = rng.choice(1 << 31, n, replace=False).astype(np.int64) - (1 << 30)
+    codes = rng.permutation(n).astype(np.int32)  # includes code 0
+    lut = build_lookup(keys, codes)
+    assert isinstance(lut, TinyLookup)
+    queries = np.concatenate(
+        [keys[: min(n, 1000)], rng.integers(-(1 << 30), 1 << 30, 2000)]
+    )
+    expected = _ref_encode(keys, codes, queries)
+    got_np = lut.encode_np(queries, np.int32(-7))
+    np.testing.assert_array_equal(got_np, expected)
+    got_dev = np.asarray(
+        lut.encode_dev(
+            jnp.asarray(lut.host_table),
+            jnp.asarray(queries.astype(np.int32)),
+            jnp.int32(-7),
+        )
+    )
+    np.testing.assert_array_equal(got_dev, expected)
+
+
+def test_batched_tiny_matches_solo():
+    import jax.numpy as jnp
+
+    from nvtabular_tpu.ops.lookup import BatchedTiny
+
+    rng = np.random.default_rng(7)
+    luts, queries, expecteds = [], [], []
+    for c, n in enumerate([3, 40, 700]):  # padded to the bin vmax
+        keys = rng.choice(1 << 30, n, replace=False).astype(np.int64)
+        codes = np.arange(n, dtype=np.int32)  # row indices from 0
+        lut = build_lookup(keys, codes)
+        assert isinstance(lut, TinyLookup)
+        q = np.concatenate([rng.choice(keys, 512), rng.integers(0, 1 << 30, 512)])
+        luts.append(lut)
+        queries.append(q.astype(np.int32))
+        expecteds.append(_ref_encode(keys, codes, q))
+    blut = BatchedTiny(luts)
+    vals = jnp.asarray(np.stack(queries))
+    miss = jnp.full(vals.shape, -7, dtype=jnp.int32)
+    got = np.asarray(blut.encode_dev(jnp.asarray(blut.concat), vals, miss))
+    for c in range(3):
+        np.testing.assert_array_equal(got[c], expecteds[c], err_msg=str(c))
+    # sel subsetting matches the member rows
+    got_sel = np.asarray(
+        blut.encode_dev(jnp.asarray(blut.concat), vals[1:], miss[1:], sel=[1, 2])
+    )
+    for i, c in enumerate([1, 2]):
+        np.testing.assert_array_equal(got_sel[i], expecteds[c], err_msg=str(c))
 
 
 def test_cuckoo_exact_sizing_and_pocket_avoidance():
