@@ -677,6 +677,7 @@ class Dataset:
         out_files_per_proc: Optional[int] = None,
         output_files: Optional[int] = None,
         row_group_size: Optional[int] = None,
+        compression: Optional[str] = None,
         **kwargs,
     ):
         from .writer import write_dataset
@@ -687,6 +688,7 @@ class Dataset:
             shuffle=check_shuffle_arg(shuffle),
             out_files=output_files or out_files_per_proc or min(self.npartitions, 16) or 1,
             row_group_size=row_group_size,
+            compression=compression,
         )
 
     @classmethod
