@@ -152,14 +152,15 @@ def run_bins(results):
         miss_dev = jax.device_put(miss)
         C, N = vals.shape
 
+        from nvtabular_tpu.ops.lookup import BatchedStash as _BStash
+
         def make_bin(full):
             def f(concat, stash, v, m):
                 def body(i, acc):
                     vv = v + i  # perturb so XLA cannot hoist the gathers
                     if full:
-                        codes = blut.encode_dev(
-                            concat, vv, m, sel=sel, stash_dev=stash
-                        )
+                        kw = {"stash_dev": stash} if isinstance(blut, _BStash) else {}
+                        codes = blut.encode_dev(concat, vv, m, sel=sel, **kw)
                     else:  # primary gather only: stash probes skipped
                         import nvtabular_tpu.ops.lookup as L
 
@@ -187,16 +188,17 @@ def run_bins(results):
             probes=C * N,
             results=results,
         )
-        timeit(
-            f"bin_{bkey}_{C}col_{mb}MB_primary_only",
-            make_bin(False),
-            concat_dev,
-            stash_dev,
-            vals_dev,
-            miss_dev,
-            probes=C * N,
-            results=results,
-        )
+        if isinstance(blut, _BStash):
+            timeit(
+                f"bin_{bkey}_{C}col_{mb}MB_primary_only",
+                make_bin(False),
+                concat_dev,
+                stash_dev,
+                vals_dev,
+                miss_dev,
+                probes=C * N,
+                results=results,
+            )
 
 
 def main():
