@@ -1106,6 +1106,7 @@ class Categorify(StatOperator):
                                     .astype(np.int32)
                                     .astype(np.int64),
                                     np.arange(len(h1), dtype=np.int32),
+                                    tiny_max=512,  # solo probe per combo
                                 )
                                 if lut is not None:
                                     h2 = hash_multi_key(arrays, seed=0xB7)
@@ -1222,7 +1223,6 @@ class Categorify(StatOperator):
             DirectLookup,
             StashLookup,
             TinyLookup,
-            _next_pow2,
         )
 
         if self._memory_limit_bytes() is not None:
@@ -1254,6 +1254,16 @@ class Categorify(StatOperator):
             else:
                 kind = "cuckoo"
             by_kind[kind].append((vkey, lut))
+        if len(by_kind["tiny"]) == 1 and len(by_kind["tiny"][0][1].keys) > 512:
+            # a LONE large-v compare column has no batch to ride (~9M
+            # lookups/s single-column vs 135M/s for 2 gather probes):
+            # demote it to a cuckoo table
+            from .lookup import build_cuckoo
+
+            vkey, lut = by_kind["tiny"].pop()
+            by_kind["cuckoo"].append(
+                (vkey, build_cuckoo(lut.keys.astype(np.int64), lut.codes))
+            )
         out = {}
         builders = {
             "tiny": BatchedTiny,
@@ -1266,14 +1276,14 @@ class Categorify(StatOperator):
             if not entries:
                 continue
             if kind == "tiny":
-                # compare-select cost is C x N x vmax: members pad to the
-                # bin's max vocab size, so bins group by pow2 SIZE CLASS
-                # (padding waste ≤ 2x) rather than by bytes
-                classes: Dict[int, List[Tuple[str, Any]]] = {}
-                for vkey, lut in entries:
-                    cls = _next_pow2(max(len(lut.keys), 1))
-                    classes.setdefault(cls, []).append((vkey, lut))
-                bins = [classes[c] for c in sorted(classes)]
+                # ONE bin for every tiny column: measured compare-select
+                # throughput scales with the BATCHED column count (v5e,
+                # bench/lookup_probe.py attribution: a 1-column v=2048 bin
+                # runs 8.9M lookups/s; 8 columns at v=4096 run 168M/s), and
+                # the per-lookup rate is only weakly v-dependent below 4K —
+                # so padding everything to the bin vmax costs less than
+                # splitting columns into smaller bins ever saves
+                bins = [entries]
             else:
                 # First-fit-DECREASING by table bytes (ties broken by vkey
                 # for determinism): real tabular data is size-skewed —

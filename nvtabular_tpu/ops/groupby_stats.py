@@ -307,7 +307,11 @@ class KeyedStats:
             if keys.dtype.kind in ("i", "u") and len(keys):
                 from .lookup import build_lookup
 
-                self._lut = build_lookup(keys, np.arange(len(keys), dtype=np.int32))
+                # group indexes probe SOLO (one column per program): cap the
+                # compare-select path at 512 keys (see build_lookup)
+                self._lut = build_lookup(
+                    keys, np.arange(len(keys), dtype=np.int32), tiny_max=512
+                )
         self._lut_built = True
         return self._lut
 
@@ -344,6 +348,7 @@ class KeyedStats:
         lut = build_lookup(
             h1.astype(np.int64).astype(np.int32).astype(np.int64),
             np.arange(len(h1), dtype=np.int32),
+            tiny_max=512,  # solo probe — see lookup_struct
         )
         if lut is None:
             return self._hashed

@@ -708,19 +708,28 @@ class BatchedCuckoo:
         return out
 
 
-def build_lookup(values: np.ndarray, codes: np.ndarray):
+def build_lookup(values: np.ndarray, codes: np.ndarray, tiny_max: Optional[int] = None):
     """Best available exact-lookup structure for integer keys, or None
     (caller falls back to searchsorted / host path). Preference order:
-    tiny compare-select (≤ _TINY_MAX keys, zero gather-unit work) → direct
+    tiny compare-select (≤ tiny_max keys, zero gather-unit work) → direct
     (1 element-gather) → bucketed cuckoo at high load (2 row-gathers on a
     minimal operand; see the round-2 measurements in CuckooLookup's
     docstring for why this beats the stash layouts everywhere once bins are
-    capped in the fast gather regime)."""
+    capped in the fast gather regime).
+
+    ``tiny_max`` defaults to _TINY_MAX (right for lookups that column-batch
+    into BatchedTiny bins); callers whose lookups always run SOLO — one
+    column per program, e.g. TE/JoinGroupby group indexes — should pass
+    ~512: single-column compare throughput lacks the batched columns the
+    VPU vectorizes over (measured 9M lookups/s at v=2048 solo vs 168M/s
+    for 8 columns at v=4096)."""
     if len(values) == 0:
         return None
     if values.dtype.kind not in ("i", "u"):
         return None
-    if len(values) <= _TINY_MAX:
+    if tiny_max is None:
+        tiny_max = _TINY_MAX
+    if len(values) <= tiny_max:
         v64 = values.astype(np.int64)
         if (
             v64.min() >= np.iinfo(np.int32).min

@@ -186,3 +186,51 @@ def test_null_members_combo_device():
     out = wf.transform(ds).to_table().to_pandas()
     got_nulls = out["c0_c1"].to_numpy() == NULL_INDEX
     np.testing.assert_array_equal(got_nulls, ~validity)
+
+
+def test_tiny_and_cuckoo_bins_mixed_device_matches_host():
+    """Mixed tiny + large vocabularies: tiny columns ride ONE compare bin
+    (single-column compare lacks VPU batching — lookup_probe attribution),
+    large ones the cuckoo bins; codes must equal the host path exactly."""
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "t1": rng.integers(0, 5, n).astype(np.int64),
+            "t2": rng.choice(np.arange(0, 1 << 30, 10_007), 64)[
+                rng.integers(0, 64, n)
+            ].astype(np.int64),
+            "t3": rng.integers(0, 900, n).astype(np.int64),
+            "big": rng.integers(0, 1 << 30, n).astype(np.int64),
+        }
+    )
+    out = _assert_jit_matches_host(
+        lambda: ["t1", "t2", "t3", "big"] >> ops.Categorify(),
+        df,
+    )
+    assert out is not None
+
+    # structural: the fitted op bins the three tiny vocabs together
+    ds = nvt.Dataset(df, part_size=1 << 20)
+    wf = nvt.Workflow(["t1", "t2", "t3", "big"] >> ops.Categorify())
+    wf.fit(ds)
+    cat = next(n_.op for n_ in wf.graph.nodes if isinstance(n_.op, ops.Categorify))
+    batched = cat._get_batched()
+    tiny_bins = [k for k in batched if k.startswith("tiny")]
+    assert tiny_bins == ["tiny#0"], batched.keys()
+    assert set(batched["tiny#0"][1]) == {"t1", "t2", "t3"}
+
+
+def test_lone_large_tiny_vocab_demotes_to_cuckoo():
+    """A single tiny-eligible column with >512 keys has no compare batch to
+    ride: it must demote to a cuckoo bin (and still encode exactly)."""
+    rng = np.random.default_rng(12)
+    n = 5000
+    df = pd.DataFrame({"c": rng.integers(0, 2000, n).astype(np.int64)})
+    _assert_jit_matches_host(lambda: ["c"] >> ops.Categorify(), df)
+    ds = nvt.Dataset(df, part_size=1 << 20)
+    wf = nvt.Workflow(["c"] >> ops.Categorify())
+    wf.fit(ds)
+    cat = next(n_.op for n_ in wf.graph.nodes if isinstance(n_.op, ops.Categorify))
+    batched = cat._get_batched()
+    assert not any(k.startswith("tiny") for k in batched), batched.keys()
