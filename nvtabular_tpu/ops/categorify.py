@@ -900,8 +900,14 @@ class Categorify(StatOperator):
             counts = pa.array(np.asarray(vocab.counts, dtype=np.int64))
             tbl = pa.table({key: arr, f"{key}_size": counts})
             # vocab values are unique by construction: dictionary encoding
-            # is pure overhead (measured ~10x slower at multi-M keys)
-            pq.write_table(tbl, path, use_dictionary=False)
+            # is pure overhead (measured ~10x slower at multi-M keys);
+            # zstd because artifact writes are disk-bound like io/writer.py
+            pq.write_table(
+                tbl,
+                path,
+                use_dictionary=False,
+                compression=os.environ.get("NVT_PARQUET_COMPRESSION", "zstd"),
+            )
             return key, path
 
         items = list(self.vocabs.items())
