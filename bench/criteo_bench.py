@@ -111,9 +111,12 @@ def main():
         >> ops.Normalize()
     )
     if args.transform_backend == "host":
-        from nvtabular_tpu.dag.executor import LocalExecutor
+        # the fused host engine (single native pass per cont chain +
+        # thread-parallel C++ hash encodes) — same engine the hetero
+        # streaming executor routes host batches through
+        from nvtabular_tpu.dag.host_fuse import FusedHostExecutor
 
-        workflow = nvt.Workflow(cats + conts + ["label"], executor=LocalExecutor())
+        workflow = nvt.Workflow(cats + conts + ["label"], executor=FusedHostExecutor())
     else:
         workflow = nvt.Workflow(cats + conts + ["label"])
     hetero = 0.625 if args.transform_backend == "hetero" else None
