@@ -8,8 +8,10 @@ multi-GPU ETL benchmark (reference bench/examples/MultiGPUBench.md,
 dask-nvtabular-criteo-benchmark.py). On a single-chip machine run with a
 virtual CPU mesh to validate the sharded program:
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python bench/etl_scaling_bench.py --rows 1000000
+    python bench/etl_scaling_bench.py --rows 1000000 --virtual-cpu
+
+(the --virtual-cpu flag forces the 8-device CPU mesh in-process; plain
+JAX_PLATFORMS env vars do NOT stick under the axon sitecustomize)
 
 Reports per-width transform rows/s as one JSON object.
 """
