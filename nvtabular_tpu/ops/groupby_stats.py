@@ -13,6 +13,7 @@ arrow `index_in` (C++ hash probe) — the reference's transform-time merge.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -39,6 +40,14 @@ def combine_keys(arrays: Sequence[np.ndarray]) -> np.ndarray:
     for p in parts[1:]:
         combined = np.char.add(np.char.add(combined, "\x1f"), p)
     return combined.astype(object)
+
+
+def _h64_multi_key(arrays: Sequence[np.ndarray]) -> np.ndarray:
+    """64-bit composite hash of int key tuples: the device path's h1/h2
+    pair packed into one int64 (host-side joins only)."""
+    h1 = hash_multi_key(arrays, seed=0xA1).astype(np.uint64)
+    h2 = hash_multi_key(arrays, seed=0xB7).astype(np.uint64)
+    return ((h1 << np.uint64(32)) | h2).view(np.int64)
 
 
 def hash_multi_key(arrays: Sequence, seed: int):
@@ -238,6 +247,32 @@ class KeyedStats:
         idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         return idx_np, found
 
+    def _native_group_table(self, keys: np.ndarray, tag: str):
+        """C++ open-addressing table int64 key → group row index, cached on
+        the instance. The native probe runs ~36 M probes/s per thread vs
+        ~3 M/s for the numpy lookup-struct encode — the host TE/JoinGroupby
+        join was 89% of the advanced-workflow transform before this."""
+        cache = getattr(self, "_native_tabs", None)
+        if cache is None:
+            cache = self._native_tabs = {}
+        if tag in cache:
+            return cache[tag]
+        tab = None
+        if len(keys):
+            try:
+                from ..serving.native import _ColumnTable
+                from .categorify import _VOCAB_TABLE_SEQ
+
+                tab = _ColumnTable.from_arrays(
+                    f"groupstats:{os.getpid()}:{next(_VOCAB_TABLE_SEQ)}",
+                    keys.astype(np.int64),
+                    np.arange(len(keys), dtype=np.int32),
+                )
+            except Exception:
+                tab = None
+        cache[tag] = tab
+        return tab
+
     def _row_indices_fast(self, arrays) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         if any(a.dtype.kind not in ("i", "u") for a in arrays):
             return None
@@ -251,7 +286,27 @@ class KeyedStats:
                 # beyond-int32 query values can't probe the int32 tables
                 if a.min() < np.iinfo(np.int32).min or a.max() > np.iinfo(np.int32).max:
                     return None
-            idx = lut.encode_np(a, miss)
+            tab = self._native_group_table(
+                np.asarray(self.key_arrays[self.key_cols[0]]), "single"
+            )
+            if tab is not None:
+                idx = tab.encode(a, None, int(miss), int(miss), 0)
+            else:
+                idx = lut.encode_np(a, miss)
+            found = idx != miss
+            return np.where(found, idx, 0).astype(np.int64), found
+        # HOST multi-key joins: exact-checked 64-bit composite hash into the
+        # native table. The 32-bit hash-pair lut (device path) refuses
+        # fitted collisions, which are CERTAIN past ~100K groups (birthday
+        # bound) — e.g. TE's fold-keyed stats at kfold x groups — and the
+        # old fallback was arrow index_in over stringified keys (0.67 s per
+        # 500K-row batch). Fitted h64 collisions are checked exactly at
+        # build; a transform-time false join needs a full 64-bit match —
+        # the same standard as the device path's verified h1/h2 pair.
+        tab = self._native_multikey_table()
+        if tab is not None:
+            h64 = _h64_multi_key(arrays)
+            idx = tab.encode(h64, None, int(miss), int(miss), 0)
             found = idx != miss
             return np.where(found, idx, 0).astype(np.int64), found
         hashed = self.hashed_lookup_struct()
@@ -265,6 +320,24 @@ class KeyedStats:
             == hash_multi_key(arrays, seed=0xB7).astype(np.uint32)
         )
         return np.where(found, idx, 0).astype(np.int64), found
+
+    def _native_multikey_table(self):
+        """Native int64 table keyed by the 64-bit composite hash of the
+        fitted multi-key tuples (exact-unique checked), or None."""
+        if getattr(self, "_mk_tab_built", False):
+            return self._mk_tab
+        self._mk_tab = None
+        self._mk_tab_built = True
+        if len(self.key_cols) < 2 or self.num_groups == 0:
+            return self._mk_tab
+        arrays = [np.asarray(self.key_arrays[k]) for k in self.key_cols]
+        if any(a.dtype.kind not in ("i", "u") for a in arrays):
+            return self._mk_tab
+        h64 = _h64_multi_key(arrays)
+        if len(np.unique(h64)) != len(h64):
+            return self._mk_tab  # fitted 64-bit collision: stay exact (arrow)
+        self._mk_tab = self._native_group_table(h64, "multikey64")
+        return self._mk_tab
 
     def lookup(self, key_arrays: Sequence[np.ndarray], stat: str, default=np.nan) -> np.ndarray:
         idx, found = self.row_indices(key_arrays)
