@@ -244,3 +244,53 @@ def test_join_groupby_null_keys_host_device_agree(tmp_path):
     dev = dev_wf.transform(dataset()).to_table().to_pandas()
     np.testing.assert_array_equal(host["k_count"], dev["k_count"])
     assert (np.asarray(host["k_count"])[~validity] == 0).all()
+
+
+def test_multikey_h64_collision_falls_back_exact(monkeypatch):
+    """If the fitted 64-bit composite hashes collide, the native table must
+    be refused and the exact (arrow) join used instead."""
+    import nvtabular_tpu.ops.groupby_stats as gs
+
+    df = pd.DataFrame(
+        {
+            "a": np.array([1, 1, 2, 2, 3, 3] * 50, dtype=np.int64),
+            "b": np.array([10, 11, 10, 11, 10, 11] * 50, dtype=np.int64),
+            "x": np.arange(300, dtype=np.float32),
+        }
+    )
+    wf = nvt.Workflow(
+        ["a", "b"] >> ops.JoinGroupby(cont_cols=["x"], stats=["mean"])
+    )
+    golden = wf.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
+
+    # force every composite hash to collide: native table must refuse
+    monkeypatch.setattr(
+        gs, "_h64_multi_key", lambda arrays: np.zeros(len(arrays[0]), np.int64)
+    )
+    wf2 = nvt.Workflow(
+        ["a", "b"] >> ops.JoinGroupby(cont_cols=["x"], stats=["mean"])
+    )
+    got = wf2.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
+    for col in golden.columns:
+        np.testing.assert_allclose(
+            got[col].to_numpy(), golden[col].to_numpy(), err_msg=col
+        )
+
+
+def test_sentinel_int64_min_key_joins_exactly():
+    """INT64_MIN is the native map's empty-slot sentinel; a real key equal
+    to it must still join through the dedicated sentinel path."""
+    kmin = np.iinfo(np.int64).min
+    df = pd.DataFrame(
+        {
+            "k": np.array([kmin, 5, kmin, 7, 5] * 40, dtype=np.int64),
+            "x": np.arange(200, dtype=np.float32),
+        }
+    )
+    wf = nvt.Workflow(["k"] >> ops.JoinGroupby(cont_cols=["x"], stats=["count", "mean"]))
+    out = wf.fit_transform(nvt.Dataset(df)).to_table().to_pandas()
+    pdf = df.copy()
+    want_count = pdf.groupby("k")["x"].transform("count").to_numpy()
+    want_mean = pdf.groupby("k")["x"].transform("mean").to_numpy()
+    np.testing.assert_allclose(out["k_count_x"] if "k_count_x" in out else out[[c for c in out.columns if "count" in c][0]], want_count)
+    np.testing.assert_allclose(out[[c for c in out.columns if "mean" in c][0]], want_mean, rtol=1e-6)
