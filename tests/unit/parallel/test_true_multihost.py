@@ -85,17 +85,20 @@ def test_two_process_fit_matches_single(tmp_path):
     assert results[0]["reduce_paths"] == {"exchange": [], "gather": ["c"]}
 
 
-def _run_workers(tmp_path, data_dir, case, timeout=600):
+def _run_workers(tmp_path, data_dir, case, timeout=600, nprocs=2):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": os.getcwd()}
     env.pop("XLA_FLAGS", None)
     procs, outs = [], []
-    for rank in range(2):
+    for rank in range(nprocs):
         out_file = str(tmp_path / f"result_{case}_{rank}.json")
         outs.append(out_file)
         procs.append(
             subprocess.Popen(
-                [sys.executable, WORKER, coordinator, str(rank), "2", data_dir, out_file, case],
+                [
+                    sys.executable, WORKER, coordinator, str(rank),
+                    str(nprocs), data_dir, out_file, case,
+                ],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
@@ -144,5 +147,38 @@ def test_two_process_bigvocab_exchange_matches_single(tmp_path):
     values = np.ascontiguousarray(np.asarray(vocab.values_by_code))
     counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
     assert str(values.dtype) == results[0]["values_dtype"]
+    assert hashlib.sha256(values.tobytes()).hexdigest() == results[0]["values_sha"]
+    assert hashlib.sha256(counts.tobytes()).hexdigest() == results[0]["counts_sha"]
+
+
+@pytest.mark.multichip
+def test_four_process_exchange_matches_single(tmp_path):
+    """FOUR jax.distributed processes: the all-to-all (key,count) exchange
+    must reduce a >65K-unique-key vocabulary identically on every rank and
+    match the single-process fit — multi-rank ownership routing, not just
+    the 2-way split."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    n = 600_000
+    raw = rng.zipf(1.1, n).astype(np.int64)
+    keys = (raw * np.int64(2654435761)) % np.int64(1 << 34)
+    assert len(np.unique(keys)) > 66_000  # above NVT_VOCAB_EXCHANGE_MIN
+    df = pd.DataFrame({"c": keys})
+    data_dir = str(tmp_path / "data4")
+    nvt.Dataset(df, part_size=2 * 1024 * 1024).to_parquet(data_dir, output_files=8)
+
+    results = _run_workers(tmp_path, data_dir, "bigvocab", nprocs=4)
+    for r in results[1:]:
+        assert r["values_sha"] == results[0]["values_sha"]
+        assert r["counts_sha"] == results[0]["counts_sha"]
+    assert results[0]["reduce_paths"] == {"exchange": ["c"], "gather": []}
+
+    cat_op = ops.Categorify()
+    wf = nvt.Workflow(["c"] >> cat_op)
+    wf.fit(nvt.Dataset(data_dir))
+    vocab = cat_op.vocabs["c"]
+    values = np.ascontiguousarray(np.asarray(vocab.values_by_code))
+    counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
     assert hashlib.sha256(values.tobytes()).hexdigest() == results[0]["values_sha"]
     assert hashlib.sha256(counts.tobytes()).hexdigest() == results[0]["counts_sha"]
