@@ -14,7 +14,7 @@ from .operator import Operator
 class DropLowCardinality(Operator):
     jit_safe = True
 
-    def __init__(self, min_cardinality: int = 2):
+    def __init__(self, min_cardinality: int = 4):  # reference default, :28
         super().__init__()
         self.min_cardinality = min_cardinality
 
