@@ -52,6 +52,15 @@ def parse_args():
         "essential here because the dev tunnel reads back at ~12 MB/s. "
         "Device-resident consumers (training) always use the device path.",
     )
+    p.add_argument(
+        "--train-feed",
+        choices=["device", "host"],
+        default="host",
+        help="training input pipeline: 'device' = DeviceLoader (HBM-resident"
+        " batches — the production TPU feed, but each device op's dispatch"
+        " round-trips the axon debug tunnel, so 'host' measures better"
+        " there); 'host' = host Loader with per-step h2d transfers",
+    )
     p.add_argument("--profile", default=None, help="jax profiler trace dir")
     return p.parse_args()
 
@@ -179,10 +188,23 @@ def main():
         opt = optax.adam(1e-3)
         opt_state = opt.init(params)
         train_step, _ = make_step_fns(dlrm_loss, opt)
-        dev_loader = Loader(
-            out_ds, batch_size=args.batch_size, shuffle=True, seed=0, drop_last=True,
-            cat_names=cat_names, cont_names=cont_names, label_names=["label"],
-        )
+        if args.train_feed == "device":
+            # HBM-resident feed: stage once, then every step reads free
+            # contiguous device slices — no per-step h2d (which the axon
+            # tunnel throttles to ~75 MB/s after the first readback;
+            # 64K x 40 cols is ~10 MB => ~130 ms/step of pure transfer)
+            from nvtabular_tpu.loader import DeviceLoader
+
+            dev_loader = DeviceLoader(
+                out_ds, batch_size=args.batch_size, shuffle=True, seed=0,
+                drop_last=True, cat_names=cat_names, cont_names=cont_names,
+                label_names=["label"],
+            )
+        else:
+            dev_loader = Loader(
+                out_ds, batch_size=args.batch_size, shuffle=True, seed=0, drop_last=True,
+                cat_names=cat_names, cont_names=cont_names, label_names=["label"],
+            )
         it = iter(dev_loader)
         first = next(it)
         params, opt_state, loss = train_step(params, opt_state, first)  # compile

@@ -18,6 +18,22 @@ import numpy as np
 from ..tags import Tags
 
 
+def _permute_tree(arrays: Dict[str, Any], perm) -> Dict[str, Any]:
+    import jax
+
+    global _PERMUTE_JIT
+    if _PERMUTE_JIT is None:
+        import jax.numpy as jnp
+
+        _PERMUTE_JIT = jax.jit(
+            lambda d, p: {k: jnp.take(v, p, axis=0) for k, v in d.items()}
+        )
+    return _PERMUTE_JIT(arrays, perm)
+
+
+_PERMUTE_JIT = None
+
+
 class DeviceLoader:
     """Batch iterator over a (transformed) dataset with device-resident
     shuffle/collate. Batch layout matches ``Loader``: per-cat int arrays,
@@ -87,8 +103,10 @@ class DeviceLoader:
             if self.shuffle:
                 key, sub = jax.random.split(key)
                 perm = jax.random.permutation(sub, n)
-                # one gather per column; batches below are free slices
-                arrays = {k: jnp.take(v, perm, axis=0) for k, v in arrays.items()}
+                # ONE jitted program permutes every column (per-column eager
+                # takes each pay a dispatch round trip — ~40 of them per
+                # chunk costs seconds over a remote/tunnel runtime)
+                arrays = _permute_tree(arrays, perm)
             full = n // self.batch_size * self.batch_size
             for start in range(0, full, self.batch_size):
                 yield {
