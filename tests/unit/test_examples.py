@@ -11,6 +11,7 @@ EXAMPLES = [
     "examples/01_getting_started.py",
     "examples/02_advanced_ops.py",
     "examples/03_dlrm_training.py",
+    "examples/04_scaling_hetero.py",
 ]
 
 
