@@ -128,7 +128,8 @@ def main():
         workflow = nvt.Workflow(cats + conts + ["label"], executor=FusedHostExecutor())
     else:
         workflow = nvt.Workflow(cats + conts + ["label"])
-    hetero = 0.625 if args.transform_backend == "hetero" else None
+    # "auto": the split calibrates itself from the first batch per engine
+    hetero = "auto" if args.transform_backend == "hetero" else None
 
     # phase 1: fit (vocab build + moments)
     t0 = time.perf_counter()

@@ -335,8 +335,10 @@ class JitExecutor(LocalExecutor):
 
         ``hetero``: fraction of batches (0..1) routed to the HOST executor
         on a worker thread, transforming CONCURRENTLY with the device —
-        both engines of the machine stay busy (measured 6.7M rows/s
-        combined vs 4.1M device-only on the Criteo workload). Outputs
+        both engines of the machine stay busy (measured 13M rows/s
+        combined vs 4.6M device-only on the Criteo workload), or the
+        string ``"auto"`` to calibrate the split from the first batch on
+        each engine (host_rate / (host_rate + device_rate)). Outputs
         yield in input order; host-routed outputs are host-resident."""
         if hetero:
             yield from self._transform_batches_hetero(batches, output_node, hetero)
@@ -363,24 +365,88 @@ class JitExecutor(LocalExecutor):
             if fut is not None:
                 yield self._dispatch(fut.result(), output_node)
 
-    def _transform_batches_hetero(self, batches, output_node: Node, fraction: float):
+    def _transform_batches_hetero(self, batches, output_node: Node, fraction):
         """Split the stream between the host executor (worker thread; its
-        C++ encodes release the GIL) and the device path, preserving order."""
-        import concurrent.futures as cf
+        C++ encodes release the GIL) and the device path, preserving order.
 
-        fraction = min(max(float(fraction), 0.0), 1.0)
+        ``fraction="auto"``: the optimal host share is
+        host_rate / (host_rate + device_rate) — calibrated by timing the
+        first batch on each engine (the device batch is forced with a tiny
+        readback once; lazy runtimes otherwise report dispatch time, not
+        execution), then fixed for the rest of the stream."""
+        import concurrent.futures as cf
+        import time as _time
+
+        auto = isinstance(fraction, str)
+        if auto and fraction != "auto":
+            raise ValueError(f"hetero must be a fraction or 'auto', got {fraction!r}")
+        if not auto:
+            fraction = min(max(float(fraction), 0.0), 1.0)
         if os.environ.get("NVT_HOST_FUSE", "1") != "0":
             from .host_fuse import FusedHostExecutor
 
             host_exec = FusedHostExecutor()
         else:
             host_exec = LocalExecutor()
+
+        rates = {"host": None, "device": None}  # rows/s once calibrated
+
+        def timed_host(batch):
+            t0 = _time.perf_counter()
+            out = host_exec.transform_batch(batch, output_node)
+            if rates["host"] is None:
+                rates["host"] = batch.num_rows / max(_time.perf_counter() - t0, 1e-9)
+            return out
+
+        dev_state = {"warmed": False}
+
+        def timed_device(batch):
+            t0 = _time.perf_counter()
+            out = self.transform_batch(batch, output_node)
+            # force execution with a scalar readback so lazy runtimes
+            # report real execution time (one-time calibration cost)
+            first = next(iter(out.columns.values())).values
+            if hasattr(first, "block_until_ready"):
+                import jax.numpy as jnp
+
+                float(jnp.sum(first[:8].astype(jnp.float32)))
+            if not dev_state["warmed"]:
+                # first device batch pays the compile — never calibrate on
+                # it (a cold 100s+ XLA compile would route the whole
+                # stream to the host)
+                dev_state["warmed"] = True
+            elif rates["device"] is None:
+                rates["device"] = batch.num_rows / max(_time.perf_counter() - t0, 1e-9)
+            return out
+
         results: Dict[int, Any] = {}
         next_out = 0
         acc = 0.0
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
             futures: Dict[int, Any] = {}
             for i, batch in enumerate(batches):
+                if auto:
+                    if rates["device"] is None and self.graph_is_jittable(
+                        output_node, batch
+                    ) and batch.num_rows >= self.jit_min_rows:
+                        results[i] = timed_device(batch)
+                        # drain below, then continue routing
+                        while next_out in results or next_out in futures:
+                            if next_out in results:
+                                yield results.pop(next_out)
+                            else:
+                                fut = futures[next_out]
+                                if not fut.done() and (len(results) + len(futures)) < 4:
+                                    break
+                                yield futures.pop(next_out).result()
+                            next_out += 1
+                        continue
+                    if rates["host"] is None:
+                        futures[i] = pool.submit(timed_host, batch)
+                        continue
+                    h, d = rates["host"], rates["device"]
+                    fraction = 0.5 if d is None else h / max(h + d, 1e-9)
+                    LOG.debug("hetero auto split: host share %.2f", fraction)
                 acc += fraction
                 to_host = acc >= 1.0
                 if to_host:

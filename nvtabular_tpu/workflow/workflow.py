@@ -235,11 +235,13 @@ class TransformedDataset(Dataset):
         return self._workflow.output_schema
 
     def to_batches(self, columns=None, prefetch: int = 2, shard=None, host: bool = True,
-                   hetero: Optional[float] = None):
+                   hetero: "Optional[float | str]" = None):
         """``host=False`` keeps transformed batches device-resident (feeding
         a device consumer like the training loop without a d2h round trip).
         ``hetero`` routes that fraction of batches through the host C++
-        path concurrently with the device (see JitExecutor.transform_batches)."""
+        path concurrently with the device, or ``"auto"`` to calibrate the
+        split from the first batch on each engine (see
+        JitExecutor.transform_batches)."""
         wf = self._workflow
         input_cols = wf._input_columns or None
         source = self._base.to_batches(columns=input_cols, prefetch=prefetch, shard=shard)

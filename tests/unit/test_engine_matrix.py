@@ -139,6 +139,39 @@ def test_hetero_streaming_matches_local(parts, golden):
     _assert_frames_equal(got, golden, "hetero")
 
 
+def test_hetero_auto_calibrates_and_matches_local():
+    """hetero='auto' calibrates the host/device split from the first batch
+    on each engine, then ROUTES the remaining stream by the measured
+    rates — order-preserving and value-identical to the host path."""
+    df = _data(seed=3).drop(columns=["city"])  # numeric-only: both engines engage
+    step = N // 8
+    many_parts = [
+        TableBatch.from_pandas(df.iloc[i : i + step].reset_index(drop=True))
+        for i in range(0, N, step)
+    ]
+
+    def graph():
+        return (
+            (["cat_tiny", "cat_big"] >> ops.Categorify())
+            + (["x1", "x2"] >> ops.FillMissing() >> ops.Normalize())
+            + ["label"]
+        )
+
+    def run(executor, hetero=None):
+        wf = nvt.Workflow(graph(), executor=executor)
+        ds = nvt.Dataset(many_parts)
+        wf.fit(ds)
+        kw = {"hetero": hetero} if hetero else {}
+        frames = [
+            b.to_host().to_pandas() for b in wf.transform(ds).to_batches(**kw)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    golden = run(LocalExecutor())
+    got = run(JitExecutor(jit_min_rows=0), hetero="auto")
+    _assert_frames_equal(got, golden, "hetero-auto")
+
+
 def test_eager_dataframe_serving_matches_batch(parts, golden):
     """The singledispatch DataFrame path (serving) must agree with the
     batch path row-for-row on rows it has seen."""
