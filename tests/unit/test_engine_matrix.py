@@ -188,3 +188,34 @@ def test_eager_dataframe_serving_matches_batch(parts, golden):
                 np.testing.assert_allclose(va, vb, rtol=2e-5, atol=2e-6, err_msg=col)
             else:
                 np.testing.assert_array_equal(va, vb, err_msg=col)
+
+
+@pytest.mark.parametrize("tier", ["device", "host", "disk"])
+def test_cat_cache_tiers_match(parts, golden, tier, tmp_path):
+    """cat_cache tier must not change any output value (reference sweeps
+    engine x cat_cache x on_host across its full workflow,
+    test_dask_nvt.py:51-141)."""
+
+    def graph():
+        cats = ["cat_tiny", "cat_big", "genres"] >> ops.Categorify(
+            cat_cache=tier, out_path=str(tmp_path)
+        )
+        te = ["user"] >> ops.TargetEncoding(target="label", kfold=3, p_smooth=20, seed=7)
+        jg = ["item"] >> ops.JoinGroupby(cont_cols=["x2"], stats=["mean", "count"])
+        conts = (
+            ["x1", "x2"]
+            >> ops.FillMissing()
+            >> ops.Clip(min_value=-5.0, max_value=8.0)
+            >> ops.Normalize()
+        )
+        cross = ["user", "item"] >> ops.HashedCross(num_buckets=128)
+        bucket = ["x2"] >> ops.Bucketize(boundaries={"x2": [-4.0, -1.0, 0.0, 2.0, 5.0]})
+        strings = ["city"] >> ops.Categorify(name_sep="~", out_path=str(tmp_path))
+        return cats + te + jg + conts + cross + bucket + strings + ["label"]
+
+    wf = nvt.Workflow(graph(), executor=LocalExecutor())
+    ds = nvt.Dataset(parts)
+    wf.fit(ds)
+    frames = [b.to_host().to_pandas() for b in wf.transform(ds).to_batches()]
+    got = pd.concat(frames, ignore_index=True)
+    _assert_frames_equal(got, golden, f"cat_cache={tier}")
