@@ -250,6 +250,49 @@ std::unordered_map<std::string, std::weak_ptr<Table>> g_cache;
 
 TablePtr* wrap(TablePtr p) { return new TablePtr(std::move(p)); }
 
+// Encode integer values (TIn = int64 or int32 source width — the int32
+// entry point saves the caller a full astype(int64) copy pass per column
+// per batch). validity may be nullptr; oov_index is used for misses
+// (single-OOV-bucket contract, matching the reference C++ kernel's
+// "only one OOV bucket" restriction, categorify.cc:261-263).
+template <typename TIn>
+void encode_ints(void* h, const TIn* vals, const uint8_t* validity,
+                 int64_t n, int32_t null_index, int32_t oov_index,
+                 int32_t offset, int32_t* out) {
+  const Table& t = **static_cast<TablePtr*>(h);
+  const I64Map& m = *t.i64;
+  // blocked probe with software prefetch: hash+prefetch a block of slots,
+  // then resolve — keeps a window of independent HBM misses in flight
+  // instead of serializing on each probe's latency
+  constexpr int64_t kBlock = 16;
+  uint64_t slots[kBlock];
+  for (int64_t base = 0; base < n; base += kBlock) {
+    const int64_t m_n = (n - base) < kBlock ? (n - base) : kBlock;
+    for (int64_t j = 0; j < m_n; ++j) {
+      const uint64_t s = m.slot_of(static_cast<int64_t>(vals[base + j]));
+      slots[j] = s;
+      m.prefetch(s);
+    }
+    for (int64_t j = 0; j < m_n; ++j) {
+      const int64_t i = base + j;
+      if (validity && !validity[i]) {
+        out[i] = null_index + offset;
+        continue;
+      }
+      const int64_t k = static_cast<int64_t>(vals[i]);
+      int32_t code;
+      bool hit;
+      if (k == kEmpty) {
+        hit = m.has_sentinel_key;
+        code = m.sentinel_val;
+      } else {
+        hit = m.find_from(slots[j], k, &code);
+      }
+      out[i] = (hit ? code : oov_index) + offset;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -293,44 +336,17 @@ void* nvt_cat_create_str(const char* name, const char* blob, const int64_t* offs
 
 void nvt_cat_release(void* h) { delete static_cast<TablePtr*>(h); }
 
-// Encode int64 values. validity may be nullptr; oov_index is used for misses
-// (single-OOV-bucket contract, matching the reference C++ kernel's
-// "only one OOV bucket" restriction, categorify.cc:261-263).
 void nvt_cat_encode_i64(void* h, const int64_t* vals, const uint8_t* validity,
                         int64_t n, int32_t null_index, int32_t oov_index,
                         int32_t offset, int32_t* out) {
-  const Table& t = **static_cast<TablePtr*>(h);
-  const I64Map& m = *t.i64;
-  // blocked probe with software prefetch: hash+prefetch a block of slots,
-  // then resolve — keeps a window of independent HBM misses in flight
-  // instead of serializing on each probe's latency
-  constexpr int64_t kBlock = 16;
-  uint64_t slots[kBlock];
-  for (int64_t base = 0; base < n; base += kBlock) {
-    const int64_t m_n = (n - base) < kBlock ? (n - base) : kBlock;
-    for (int64_t j = 0; j < m_n; ++j) {
-      const uint64_t s = m.slot_of(vals[base + j]);
-      slots[j] = s;
-      m.prefetch(s);
-    }
-    for (int64_t j = 0; j < m_n; ++j) {
-      const int64_t i = base + j;
-      if (validity && !validity[i]) {
-        out[i] = null_index + offset;
-        continue;
-      }
-      const int64_t k = vals[i];
-      int32_t code;
-      bool hit;
-      if (k == kEmpty) {
-        hit = m.has_sentinel_key;
-        code = m.sentinel_val;
-      } else {
-        hit = m.find_from(slots[j], k, &code);
-      }
-      out[i] = (hit ? code : oov_index) + offset;
-    }
-  }
+  encode_ints(h, vals, validity, n, null_index, oov_index, offset, out);
+}
+
+// int32 source values probe directly (no host-side widening copy)
+void nvt_cat_encode_i32(void* h, const int32_t* vals, const uint8_t* validity,
+                        int64_t n, int32_t null_index, int32_t oov_index,
+                        int32_t offset, int32_t* out) {
+  encode_ints(h, vals, validity, n, null_index, oov_index, offset, out);
 }
 
 void nvt_cat_encode_str(void* h, const char* blob, const int64_t* offsets,
