@@ -278,21 +278,24 @@ class KeyedStats:
             return None
         miss = np.int32(self.num_groups)
         if len(arrays) == 1:
-            lut = self.lookup_struct()
-            if lut is None:
-                return None
             a = arrays[0]
-            if a.dtype.itemsize == 8 and len(a):
-                # beyond-int32 query values can't probe the int32 tables
-                if a.min() < np.iinfo(np.int32).min or a.max() > np.iinfo(np.int32).max:
-                    return None
+            # the native table keys int64 — serves full-width int keys the
+            # int32 lookup structs cannot
             tab = self._native_group_table(
                 np.asarray(self.key_arrays[self.key_cols[0]]), "single"
             )
             if tab is not None:
                 idx = tab.encode(a, None, int(miss), int(miss), 0)
-            else:
-                idx = lut.encode_np(a, miss)
+                found = idx != miss
+                return np.where(found, idx, 0).astype(np.int64), found
+            lut = self.lookup_struct()
+            if lut is None:
+                return None
+            if a.dtype.itemsize == 8 and len(a):
+                # beyond-int32 query values can't probe the int32 tables
+                if a.min() < np.iinfo(np.int32).min or a.max() > np.iinfo(np.int32).max:
+                    return None
+            idx = lut.encode_np(a, miss)
             found = idx != miss
             return np.where(found, idx, 0).astype(np.int64), found
         # HOST multi-key joins: exact-checked 64-bit composite hash into the
