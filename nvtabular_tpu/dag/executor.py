@@ -277,6 +277,7 @@ class JitExecutor(LocalExecutor):
         keys = tuple(sorted(id(n) for n in frontier))
         signature = (
             ("frontier",) + keys,
+            tuple(_fit_generations(n) for n in frontier),
             layout,
             tuple(sorted((k, str(v.dtype), v.shape) for k, v in stacked.items())),
             tuple(sorted((k, str(v.dtype), v.shape) for k, v in state.items())),
@@ -509,6 +510,7 @@ class JitExecutor(LocalExecutor):
         state = self._collect_device_state(output_node)
         signature = (
             id(output_node),
+            _fit_generations(output_node),
             layout,
             tuple(sorted((k, str(v.dtype), v.shape) for k, v in stacked.items())),
             tuple(sorted((k, str(v.dtype), v.shape) for k, v in state.items())),
@@ -548,6 +550,16 @@ class JitExecutor(LocalExecutor):
         if meta is not None and out.num_rows != n_rows:
             out = _unpad_batch(out, n_rows)
         return out
+
+
+def _fit_generations(output_node: Node) -> tuple:
+    """Per-node fit generations over the upstream graph: part of the jit
+    cache key so a REFIT recompiles (scalar fitted state — means, stds,
+    medians — traces into the program as constants; only array state rides
+    as arguments)."""
+    return tuple(
+        getattr(n.op, "fit_generation", 0) for n in postorder_iter_nodes(output_node)
+    )
 
 
 def _stack_batch(batch: TableBatch):
@@ -740,6 +752,11 @@ class FitEngine:
                         state = n.op.fit_merge(allgather_pyobj(state))
                 n.op.fit_finalize(state)
                 n.op.fitted = True
+                # refit marker: SCALAR fitted state (Normalize means, fill
+                # values) traces into the fused program as CONSTANTS, so the
+                # jit cache key must change when an op is refitted — array
+                # state already rides as arguments, scalars need this bump
+                n.op.fit_generation = getattr(n.op, "fit_generation", 0) + 1
             # per-phase wall-clock (the dask-dashboard observability analog)
             LOG.info(
                 "fit phase %d (%s): %.3fs",

@@ -159,6 +159,10 @@ def _deserialize_node(record: Dict[str, Any], nodes: Dict[int, Node], path: str)
         node.output_schema = Schema.from_dict(record["output_schema"])
     if record.get("fitted") and isinstance(op, StatOperator):
         op.fitted = True
+        # generation >= 1: a later fit() on the loaded workflow REFITS this
+        # op (reference semantics) — unlike constructor-supplied state
+        # (vocabs=), which stays at generation 0 and is kept
+        op.fit_generation = max(getattr(op, "fit_generation", 0), 1)
     for pid in record.get("parents", []):
         node.add_parent(nodes[pid])
     for did in record.get("dependencies", []):

@@ -169,8 +169,23 @@ class Workflow:
                 node.op.clear()
 
     def _clear_unfitted_stats(self):
-        # re-fitting an already-fitted workflow refits everything
-        pass
+        """Re-fitting an already-fitted workflow refits everything EXCEPT
+        constructor-supplied state (e.g. ``Categorify(vocabs=...)`` — fitted
+        at construction with fit_generation 0; the reference likewise keeps
+        supplied vocabs across fits). Ops fitted by a previous fit() or
+        restored by load() carry fit_generation >= 1 and are cleared."""
+
+        def clear_graph(graph):
+            for node in graph.nodes:
+                op = node.op
+                if isinstance(op, Subgraph):
+                    if getattr(op, "fitted", False):
+                        op.fitted = False
+                    clear_graph(op.graph)
+                elif isinstance(op, StatOperator) and getattr(op, "fit_generation", 0) > 0:
+                    op.clear()
+
+        clear_graph(self.graph)
 
     # --- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:

@@ -181,3 +181,56 @@ def test_jit_te_unseen_keys_get_prior_mean():
     probe = pd.DataFrame({"c": np.full(2048, 999, dtype=np.int64), "y": np.zeros(2048)})
     out = wf.transform(nvt.Dataset(probe)).to_table().to_pandas()
     np.testing.assert_allclose(out["TE_c_y"], df["y"].mean(), rtol=1e-5)
+
+
+def test_refit_replaces_device_tables():
+    """Refit on different data must not serve stale HBM lookup tables:
+    the device-state cache is identity-keyed per fitted arrays (ADVICE r1:
+    a bare id() token could alias a recycled array). Codes after the
+    second fit must reflect the NEW vocabulary on the device path."""
+    import pandas as pd
+
+    from nvtabular_tpu.dag.executor import JitExecutor, LocalExecutor
+
+    rng = np.random.default_rng(21)
+
+    def build(seed, offset):
+        r = np.random.default_rng(seed)
+        return pd.DataFrame(
+            {
+                "c": (r.integers(0, 4000, 30_000) * 7 + offset).astype(np.int64),
+                "x": r.normal(0, 1, 30_000).astype(np.float32),
+            }
+        )
+
+    ex = JitExecutor(jit_min_rows=0)
+    wf = nvt.Workflow(
+        (["c"] >> ops.Categorify()) + (["x"] >> ops.Normalize()), executor=ex
+    )
+
+    df_a = build(1, 0)
+    wf.fit(nvt.Dataset(df_a, part_size=1 << 19))
+    out_a = wf.transform(nvt.Dataset(df_a, part_size=1 << 19)).to_table().to_pandas()
+
+    # refit the SAME workflow object on disjoint data through the SAME
+    # executor (its _device_state_cache still holds fit-A tables and its
+    # jit cache the fit-A programs) — plain fit() refits, like the
+    # reference's DaskExecutor.fit recomputing every StatOperator
+    df_b = build(2, 3)  # offset 3: no key overlap with A (A keys ≡ 0 mod 7)
+    wf.fit(nvt.Dataset(df_b, part_size=1 << 19))
+    out_b = wf.transform(nvt.Dataset(df_b, part_size=1 << 19)).to_table().to_pandas()
+
+    # device results equal a fresh host-path fit on B (stale A tables would
+    # turn most of B's codes into OOV=2)
+    host_wf = nvt.Workflow(
+        (["c"] >> ops.Categorify()) + (["x"] >> ops.Normalize()),
+        executor=LocalExecutor(),
+    )
+    host_wf.fit(nvt.Dataset(df_b, part_size=1 << 19))
+    want = host_wf.transform(nvt.Dataset(df_b, part_size=1 << 19)).to_table().to_pandas()
+    np.testing.assert_array_equal(out_b["c"].to_numpy(), want["c"].to_numpy())
+    np.testing.assert_allclose(
+        out_b["x"].to_numpy(), want["x"].to_numpy(), rtol=2e-5, atol=2e-6
+    )
+    # and the two fits really did differ
+    assert not np.array_equal(out_a["c"].to_numpy()[:100], out_b["c"].to_numpy()[:100])
