@@ -182,7 +182,13 @@ class FusedHostExecutor(LocalExecutor):
         return self._native
 
     def _try_fused(self, node, root_batch, memo) -> Optional[TableBatch]:
-        key = id(node)
+        # keyed on fit generations too: the chain spec SNAPSHOTS the ops'
+        # fitted scalars (means/stds/medians), so a refit through a
+        # long-lived executor must re-extract (same staleness class as the
+        # jit-cache constants, dag/executor.py::_fit_generations)
+        from .executor import _fit_generations
+
+        key = (id(node), _fit_generations(node))
         if key not in self._chain_cache:
             self._chain_cache[key] = extract_chain(node)
         spec = self._chain_cache[key]

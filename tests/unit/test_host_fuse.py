@@ -211,3 +211,33 @@ class TestFusedExecution:
             np.testing.assert_array_equal(
                 np.asarray(got[name].values), np.asarray(want[name].values)
             )
+
+
+def test_refit_reextracts_chain_params():
+    """A long-lived FusedHostExecutor must not serve a refitted chain with
+    the OLD snapshotted scalars (means/stds bake into the chain spec)."""
+    import pandas as pd
+
+    from nvtabular_tpu.dag.executor import LocalExecutor
+
+    rng = np.random.default_rng(5)
+    df_a = pd.DataFrame({"x": rng.normal(0.0, 1.0, 50_000).astype(np.float32)})
+    df_b = pd.DataFrame({"x": rng.normal(9.0, 3.0, 50_000).astype(np.float32)})
+
+    wf = nvt.Workflow(["x"] >> ops.FillMissing() >> ops.Normalize())
+    hx = FusedHostExecutor()
+
+    wf.fit(nvt.Dataset(df_a))
+    node = wf.graph.output_node
+    from nvtabular_tpu.table import TableBatch
+
+    out_a = hx.transform_batch(TableBatch.from_pandas(df_a), node)
+
+    wf.fit(nvt.Dataset(df_b))  # refit; executor instance unchanged
+    out_b = hx.transform_batch(TableBatch.from_pandas(df_b), node)
+    got = np.asarray(out_b["x"].values)
+    # B normalized with B's OWN stats is ~N(0,1); stale A stats would give
+    # mean ~9 and std ~3
+    assert abs(float(got.mean())) < 0.05, got.mean()
+    assert abs(float(got.std()) - 1.0) < 0.05, got.std()
+    assert out_a is not out_b
