@@ -425,25 +425,35 @@ class JitExecutor(LocalExecutor):
         acc = 0.0
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
             futures: Dict[int, Any] = {}
+
+            def drain(final: bool = False):
+                """Yield completed outputs in input order; unless final,
+                stop at a pending host future while the backlog is small
+                (let the device run ahead a little)."""
+                nonlocal next_out
+                while next_out in results or next_out in futures:
+                    if next_out in results:
+                        yield results.pop(next_out)
+                    else:
+                        fut = futures[next_out]
+                        if not final and not fut.done() and (
+                            len(results) + len(futures)
+                        ) < 4:
+                            return
+                        yield futures.pop(next_out).result()
+                    next_out += 1
+
             for i, batch in enumerate(batches):
                 if auto:
                     if rates["device"] is None and self.graph_is_jittable(
                         output_node, batch
                     ) and batch.num_rows >= self.jit_min_rows:
                         results[i] = timed_device(batch)
-                        # drain below, then continue routing
-                        while next_out in results or next_out in futures:
-                            if next_out in results:
-                                yield results.pop(next_out)
-                            else:
-                                fut = futures[next_out]
-                                if not fut.done() and (len(results) + len(futures)) < 4:
-                                    break
-                                yield futures.pop(next_out).result()
-                            next_out += 1
+                        yield from drain()
                         continue
                     if rates["host"] is None:
                         futures[i] = pool.submit(timed_host, batch)
+                        yield from drain()
                         continue
                     h, d = rates["host"], rates["device"]
                     fraction = 0.5 if d is None else h / max(h + d, 1e-9)
@@ -458,21 +468,8 @@ class JitExecutor(LocalExecutor):
                     futures[i] = pool.submit(host_exec.transform_batch, batch, output_node)
                 else:
                     results[i] = self.transform_batch(batch, output_node)
-                while next_out in results or next_out in futures:
-                    if next_out in results:
-                        yield results.pop(next_out)
-                    else:
-                        fut = futures[next_out]
-                        if not fut.done() and (len(results) + len(futures)) < 4:
-                            break  # let the device run ahead a little
-                        yield futures.pop(next_out).result()
-                    next_out += 1
-            while next_out in results or next_out in futures:
-                if next_out in results:
-                    yield results.pop(next_out)
-                else:
-                    yield futures.pop(next_out).result()
-                next_out += 1
+                yield from drain()
+            yield from drain(final=True)
 
     def _prepare(self, batch: TableBatch, output_node: Node):
         """Host-side work only (thread-safe): pad to the row bucket and pack
