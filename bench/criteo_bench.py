@@ -144,21 +144,17 @@ def main():
         # split transform between host C++ and device engines; the writer
         # consumes in order (device-routed outputs pay one d2h copy —
         # worthwhile on real PCIe hosts, not through a slow debug tunnel)
-        from nvtabular_tpu.io.writer import ParquetWriter, _flush_shuffled, _write_metadata
+        from nvtabular_tpu.io.writer import ParquetWriter, _write_metadata
 
         writer = ParquetWriter(out_path, args.out_files)
         rng_w = np.random.default_rng(42)
-        buf = []
         for batch in transformed.to_batches(hetero=hetero):
             if shuffle is None:
                 writer.append(batch)
-                continue
-            buf.append(batch)  # PER_WORKER semantics: buffer, concat, permute
-            if len(buf) >= 4:
-                _flush_shuffled(writer, buf, rng_w)
-                buf = []
-        if buf:
-            _flush_shuffled(writer, buf, rng_w)
+            else:
+                # PER_WORKER semantics: scatter each partition across the
+                # per-file workers, which re-permute over buffered pieces
+                writer.append_split(batch, perm=rng_w.permutation(batch.num_rows))
         _write_metadata(out_path, writer.close())
     else:
         write_dataset(transformed, out_path, shuffle=shuffle, out_files=args.out_files)

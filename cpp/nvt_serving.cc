@@ -81,7 +81,12 @@ struct HugeArray {
     std::swap(raw_bytes, o.raw_bytes);
   }
 
-  void assign(size_t n, const T& fill) {
+  // want_huge=false skips the MADV_HUGEPAGE hint: fault-time synchronous
+  // compaction costs up to seconds per 100MB under fragmentation, which
+  // only pays off for LONG-LIVED probe tables (encode maps). Growth-heavy
+  // transient tables (the fit counters, regrown every doubling) measured
+  // 3.7s vs 0.17s for one 256MB growth step huge vs not.
+  void assign(size_t n, const T& fill, bool want_huge = true) {
     release();
     constexpr size_t kAlign = size_t(1) << 21;
     constexpr size_t kHugeMin = size_t(16) << 20;  // heap below 16MB: the
@@ -107,11 +112,12 @@ struct HugeArray {
       // MADV_COLLAPSE after the fill (measured 17s: it defragments under
       // full memory pressure instead of at fault time). NVT_HUGEPAGES=0
       // opts out for fragmentation-sensitive deployments.
-      static const bool use_huge = [] {
-        const char* e = std::getenv("NVT_HUGEPAGES");
-        return !(e && e[0] == '0');
-      }();
-      if (use_huge) madvise(data, span, MADV_HUGEPAGE);
+      // read per-call (not a static latch): build-heavy phases (fit,
+      // end-to-end ETL) flip NVT_HUGEPAGES=0 in-process — the compaction
+      // cost only amortizes for long-lived tables probed many times
+      const char* e = std::getenv("NVT_HUGEPAGES");
+      const bool use_huge = !(e && e[0] == '0');
+      if (use_huge && want_huge) madvise(data, span, MADV_HUGEPAGE);
     }
     count = n;
     for (size_t i = 0; i < n; ++i) data[i] = fill;
@@ -572,7 +578,7 @@ struct Counter {
   explicit Counter(uint64_t cap) { reset(next_pow2(cap < 16 ? 16 : cap)); }
 
   void reset(uint64_t cap) {
-    entries.assign(cap, Entry{kEmpty, 0});
+    entries.assign(cap, Entry{kEmpty, 0}, /*want_huge=*/false);
     mask = cap - 1;
     used = 0;
   }
@@ -580,9 +586,35 @@ struct Counter {
   void grow() {
     HugeArray<Entry> old;
     old.swap(entries);
-    reset((mask + 1) * 2);
-    for (size_t i = 0; i < old.size(); ++i) {
-      if (old[i].key != kEmpty) add(old[i].key, old[i].cnt);
+    const uint64_t old_cap = mask + 1;
+    // 4x once the table is large: growth (rehash = one random write per
+    // entry, repeated every doubling) dominated the fit scan on
+    // multi-million-key vocabularies — 4x halves the rehash passes and
+    // the page-fault/fill volume of the intermediate tables
+    const uint64_t factor =
+        old_cap * sizeof(Entry) >= (uint64_t(16) << 20) ? 4 : 2;
+    reset(old_cap * factor);
+    // blocked prefetched migration: keys are unique, so insert at the
+    // first empty slot without equality re-checks (same latency-hiding
+    // pattern as nvt_counter_update; ~10x over the naive re-add)
+    constexpr size_t kBlock = 32;
+    const size_t n = old.size();
+    for (size_t base = 0; base < n; base += kBlock) {
+      const size_t end = base + kBlock < n ? base + kBlock : n;
+      for (size_t i = base; i < end; ++i) {
+        if (old[i].key != kEmpty) {
+          __builtin_prefetch(
+              &entries[mix64(static_cast<uint64_t>(old[i].key)) & mask], 1, 1);
+        }
+      }
+      for (size_t i = base; i < end; ++i) {
+        if (old[i].key == kEmpty) continue;
+        uint64_t slot = mix64(static_cast<uint64_t>(old[i].key)) & mask;
+        while (entries[slot].key != kEmpty) slot = (slot + 1) & mask;
+        entries[slot].key = old[i].key;
+        entries[slot].cnt = old[i].cnt;
+        ++used;
+      }
     }
   }
 
@@ -638,7 +670,19 @@ void nvt_counter_update(void* h, const int64_t* vals, int64_t n) {
 
 void nvt_counter_add(void* h, const int64_t* keys, const int64_t* counts, int64_t n) {
   Counter& c = *static_cast<Counter*>(h);
-  for (int64_t i = 0; i < n; ++i) c.add(keys[i], counts[i]);
+  // same blocked prefetch as nvt_counter_update — merge-time adds are the
+  // multi-host reduce hot loop (exchange_partial_counts re-adds shards)
+  constexpr int64_t kBlock = 16;
+  for (int64_t base = 0; base < n; base += kBlock) {
+    const int64_t m_n = (n - base) < kBlock ? (n - base) : kBlock;
+    for (int64_t j = 0; j < m_n; ++j) {
+      const int64_t k = keys[base + j];
+      if (k != kEmpty) {
+        __builtin_prefetch(&c.entries[mix64(static_cast<uint64_t>(k)) & c.mask], 1, 1);
+      }
+    }
+    for (int64_t j = 0; j < m_n; ++j) c.add(keys[base + j], counts[base + j]);
+  }
 }
 
 int64_t nvt_counter_size(void* h) {

@@ -695,6 +695,13 @@ class FitEngine:
 
     def __init__(self, executor: Optional[LocalExecutor] = None):
         self.executor = executor or LocalExecutor()
+        # per-fit phase breakdown (scan = streaming fit_batch over rows,
+        # finalize = fixed per-key cost: sorts, table builds, artifacts).
+        # The split matters because scan scales with ROWS while finalize
+        # scales with KEYS — the amortization argument for end-to-end ETL
+        # throughput rests on it (reference's dask fit has the same split:
+        # the shuffled-groupby graph vs the _write_uniques finalize).
+        self.last_fit_stats: Dict[str, float] = {}
 
     def fit(self, dataset, graph: Graph, shard=None) -> None:
         from ..parallel.multihost import allgather_pyobj, process_count, process_index
@@ -709,6 +716,9 @@ class FitEngine:
         import time
 
         from .ops import Subgraph
+
+        stats = {"scan_seconds": 0.0, "finalize_seconds": 0.0, "reduce_seconds": 0.0, "rows_scanned": 0}
+        self.last_fit_stats = stats
 
         phases = graph.stat_phases()
         for phase_idx, phase_nodes in enumerate(phases):
@@ -731,14 +741,19 @@ class FitEngine:
                 id(n): n.op.fit_init(n.selector, n.input_schema) for n in nodes
             }
             columns = self._phase_columns(nodes)
+            scan_start = time.perf_counter()
             for batch in dataset.to_batches(columns=columns, shard=shard):
                 memo: Dict[int, TableBatch] = {}
                 for n in nodes:
                     input_batch = self.executor.compute_node_input(n, batch, memo)
                     states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
+                if phase_idx == 0:
+                    stats["rows_scanned"] += batch.num_rows
+            stats["scan_seconds"] += time.perf_counter() - scan_start
             for n in nodes:
                 state = states[id(n)]
                 if shard is not None and world > 1:
+                    reduce_start = time.perf_counter()
                     # ops can override the reduction (Categorify exchanges
                     # large vocabs over a mesh all-to-all instead of
                     # pickling whole accumulators through the allgather)
@@ -747,7 +762,10 @@ class FitEngine:
                         state = reducer(state)
                     else:
                         state = n.op.fit_merge(allgather_pyobj(state))
+                    stats["reduce_seconds"] += time.perf_counter() - reduce_start
+                finalize_start = time.perf_counter()
                 n.op.fit_finalize(state)
+                stats["finalize_seconds"] += time.perf_counter() - finalize_start
                 n.op.fitted = True
                 # refit marker: SCALAR fitted state (Normalize means, fill
                 # values) traces into the fused program as CONSTANTS, so the

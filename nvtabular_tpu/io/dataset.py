@@ -455,23 +455,34 @@ class Dataset:
         shard=(rank, world) deals partitions round-robin across hosts.
         """
         parts = self._partitions
+        offsets = None
         if shard is not None:
             rank, world = shard
+            # row offsets must stay GLOBAL under sharding: fold ids and
+            # other row-position-derived lanes (TE k-fold OOF) are computed
+            # from row_offset, and a multi-process fit must assign row r
+            # the same fold as the single-process fit / transform would
+            prefix = 0
+            offsets = []
+            for i, p in enumerate(parts):
+                if i % world == rank:
+                    offsets.append(prefix)
+                prefix += p.num_rows
             parts = parts[rank::world]
         if columns is not None:
             schema_cols = set(self.schema.column_names)
             columns = [c for c in columns if c in schema_cols]
         if prefetch <= 0 or len(parts) <= 1:
             offset = 0
-            for p in parts:
+            for i, p in enumerate(parts):
                 batch = p.load(columns)
-                batch.row_offset = offset
+                batch.row_offset = offsets[i] if offsets is not None else offset
                 offset += batch.num_rows
                 yield batch
             return
         offset = 0
-        for batch in _prefetch_iter(parts, columns, depth=prefetch):
-            batch.row_offset = offset
+        for i, batch in enumerate(_prefetch_iter(parts, columns, depth=prefetch)):
+            batch.row_offset = offsets[i] if offsets is not None else offset
             offset += batch.num_rows
             yield batch
 

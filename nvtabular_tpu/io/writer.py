@@ -5,16 +5,23 @@ Analog of the reference's write-time shuffle (`Shuffle.PER_PARTITION` /
 bench/examples/MultiGPUBench.md "Shuffling"/"Output-File Count", exercised at
 tests/unit/test_dask_nvt.py:105-112).
 
-Design: each output file gets a ParquetWriter kept open across partitions.
-PER_PARTITION permutes each partition then splits it round-robin across the
-files. PER_WORKER buffers several partitions, permutes the concatenation, and
-appends — approximating a global shuffle with bounded memory. FULL sorts a
-random key across the whole dataset (small data only).
+Design: ONE worker thread per output file, fed by a bounded queue. Each
+incoming partition is split by a fresh random permutation into one piece per
+file; the per-file worker gathers its piece (native GIL-releasing take),
+locally buffers a few pieces, permutes the small concat, and appends it as a
+row group. So the shuffle window spans `buffer_partitions` input partitions
+(same window as the reference's worker buffer) while the permute, arrow
+conversion, and parquet encode of ALL files run concurrently with the
+producer's transform of the NEXT partition — the write phase was previously
+serialized behind a whole-window concat (measured 5.1 s of an 8.4 s write
+phase at 4M rows).
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -22,11 +29,108 @@ import numpy as np
 from ..table import TableBatch, concat_rows
 from .shuffle import Shuffle
 
+_SENTINEL = object()
+
+
+class _FileWorker:
+    """Single-writer thread for one output parquet file."""
+
+    def __init__(self, path: str, compression, row_group_size, buffer_pieces: int, queue_depth: int, seed: int = 0):
+        self.path = path
+        self.compression = compression
+        self.row_group_size = row_group_size
+        self.buffer_pieces = max(1, buffer_pieces)
+        self.q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+        self.writer = None
+        self.error: Optional[BaseException] = None
+        self.rng = np.random.default_rng(seed)
+        self.thread = threading.Thread(target=self._loop, daemon=True, name=f"nvt-write-{os.path.basename(path)}")
+        self.started = False
+
+    def submit(self, item):
+        if self.error is not None:
+            raise self.error
+        if not self.started:
+            self.thread.start()
+            self.started = True
+        self.q.put(item)
+
+    def _loop(self):
+        buf: List[TableBatch] = []
+        try:
+            while True:
+                item = self.q.get()
+                if item is _SENTINEL:
+                    if buf:
+                        self._flush(buf)
+                    return
+                batch, idx, shuffled = item
+                piece = batch.take(idx) if idx is not None else batch
+                if shuffled:
+                    buf.append(piece)
+                    if len(buf) >= self.buffer_pieces:
+                        self._flush(buf)
+                        buf = []
+                else:
+                    self._write(piece.to_arrow())
+        except BaseException as e:  # surfaced by submit()/close()
+            self.error = e
+            # drain so producers never block on a dead worker
+            while True:
+                try:
+                    if self.q.get_nowait() is _SENTINEL:
+                        return
+                except queue.Empty:
+                    return
+
+    def _flush(self, buf: List[TableBatch]):
+        merged = buf[0] if len(buf) == 1 else concat_rows(buf)
+        # local permute restores the cross-partition shuffle window: the
+        # buffered pieces each come from a different input partition
+        perm = self.rng.permutation(merged.num_rows)
+        self._write(merged.take(perm).to_arrow())
+
+    def _write(self, table):
+        import pyarrow.parquet as pq
+
+        if self.writer is None:
+            # use_dictionary=False: high-cardinality int codes make arrow's
+            # dictionary encoding ~10x slower AND larger (measured 0.24 vs
+            # 2.3 M rows/s on 26 int32 code columns)
+            self.writer = pq.ParquetWriter(
+                self.path,
+                table.schema,
+                use_dictionary=False,
+                compression=self.compression,
+                compression_level=_compression_level(self.compression),
+            )
+        self.writer.write_table(table, row_group_size=self.row_group_size)
+
+    def close(self):
+        if self.started:
+            self.q.put(_SENTINEL)
+            self.thread.join()
+        if self.error is not None:
+            raise self.error
+        if self.writer is not None:
+            self.writer.close()
+            return True
+        return False
+
+
+def _compression_level(compression):
+    """zstd level 1 by default: measured 1.5x the encode rate of arrow's
+    default level at equal output size on encoded tabular data."""
+    if compression == "zstd":
+        return int(os.environ.get("NVT_PARQUET_ZSTD_LEVEL", 1))
+    return None
+
 
 class ParquetWriter:
-    """Append-mode writer over a fixed set of output files. Appends to
-    DISTINCT files run on a thread pool (arrow's parquet encode releases
-    the GIL), so a split across N files encodes N-way parallel."""
+    """Append-mode writer over a fixed set of output files, one worker
+    thread per file (arrow's parquet encode and the native row gather both
+    release the GIL, so N files encode N-way parallel and overlap the
+    producer)."""
 
     def __init__(
         self,
@@ -34,6 +138,9 @@ class ParquetWriter:
         num_files: int = 1,
         row_group_size: Optional[int] = None,
         compression: Optional[str] = None,
+        buffer_partitions: int = 4,
+        queue_depth: int = 4,
+        seed: int = 42,
     ):
         os.makedirs(output_path, exist_ok=True)
         self.output_path = output_path
@@ -41,18 +148,21 @@ class ParquetWriter:
         self.row_group_size = row_group_size
         # zstd default: ~27% fewer bytes than snappy on encoded tabular
         # output (measured on the Criteo-TB bench data: 168 raw / 124
-        # snappy / 91 zstd MB per 1M rows) — ETL output writes are
-        # DISK-bound, so bytes ≈ wall-clock; encode cost stays parallel
-        # across per-file pool tasks
+        # snappy / 91 zstd MB per 1M rows)
         if compression is None:
             compression = os.environ.get("NVT_PARQUET_COMPRESSION", "zstd")
         self.compression = None if compression in ("none", "") else compression
-        self._writers = [None] * self.num_files
         self._paths = [
             os.path.join(output_path, f"part_{i}.parquet") for i in range(self.num_files)
         ]
+        self._workers = [
+            _FileWorker(
+                p, self.compression, row_group_size, buffer_partitions, queue_depth,
+                seed=seed * 1000 + i,
+            )
+            for i, p in enumerate(self._paths)
+        ]
         self._next = 0
-        self._pool = None
 
     def append(self, batch: TableBatch, file_idx: Optional[int] = None):
         if batch.num_rows == 0:
@@ -60,77 +170,47 @@ class ParquetWriter:
         idx = self._next if file_idx is None else file_idx % self.num_files
         if file_idx is None:
             self._next = (self._next + 1) % self.num_files
-        self._write(idx, batch.to_arrow())
+        self._workers[idx].submit((batch, None, False))
 
-    def _write(self, idx: int, table):
-        import pyarrow.parquet as pq
+    def append_split(self, batch: TableBatch, perm=None, shuffled: Optional[bool] = None):
+        """Split one batch across all output files (parallel encode).
 
-        if self._writers[idx] is None:
-            # use_dictionary=False: high-cardinality int codes make arrow's
-            # dictionary encoding ~10x slower AND larger (measured 0.24 vs
-            # 2.3 M rows/s on 26 int32 code columns)
-            self._writers[idx] = pq.ParquetWriter(
-                self._paths[idx],
-                table.schema,
-                use_dictionary=False,
-                compression=self.compression,
-            )
-        self._writers[idx].write_table(table, row_group_size=self.row_group_size)
-
-    def append_split(self, batch: TableBatch, perm=None):
-        """Split one batch evenly across all output files (parallel encode).
-
-        A shuffle ``perm`` is NOT materialized up front: each per-file pool
-        task gathers ITS slice of the permutation (Column.take → native
-        GIL-releasing gather), so the permute, the arrow conversion, and
-        the parquet encode of all files run concurrently on all cores."""
+        With ``perm`` (a permutation of the batch's rows), file ``i``
+        receives a uniform random subset in random order; each worker then
+        re-permutes across its buffered pieces, extending the shuffle
+        window over ``buffer_partitions`` input partitions."""
         n = batch.num_rows
         if n == 0:
             return
+        if shuffled is None:
+            shuffled = perm is not None
         per = max(1, n // self.num_files)
-        pieces = []  # (file_idx, batch | (batch, perm_slice))
         start = 0
         for i in range(self.num_files):
             length = per if i < self.num_files - 1 else n - start
             if length <= 0:
                 break
-            if perm is not None:
-                pieces.append((i, (batch, perm[start : start + length])))
-            else:
-                pieces.append((i, batch.slice(start, length)))
+            idx = perm[start : start + length] if perm is not None else None
+            piece = (batch, idx, shuffled) if idx is not None else (
+                batch.slice(start, length),
+                None,
+                shuffled,
+            )
+            self._workers[i].submit(piece)
             start += length
 
-        def materialize(p):
-            if isinstance(p, tuple):
-                b, idx = p
-                return b.take(idx)
-            return p
-
-        if len(pieces) > 1:
-            if self._pool is None:
-                import concurrent.futures as cf
-
-                self._pool = cf.ThreadPoolExecutor(
-                    max_workers=min(8, self.num_files), thread_name_prefix="nvt-write"
-                )
-            # one in-flight append per file → per-file writers never race
-            list(
-                self._pool.map(
-                    lambda p: self._write(p[0], materialize(p[1]).to_arrow()), pieces
-                )
-            )
-        else:
-            for i, piece in pieces:
-                self._write(i, materialize(piece).to_arrow())
-
     def close(self) -> List[str]:
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
-            self._pool = None
-        for w in self._writers:
-            if w is not None:
-                w.close()
-        return [p for p, w in zip(self._paths, self._writers) if w is not None]
+        paths = []
+        errors = []
+        for p, w in zip(self._paths, self._workers):
+            try:
+                if w.close():
+                    paths.append(p)
+            except BaseException as e:
+                errors.append(e)
+        if errors:
+            raise errors[0]
+        return paths
 
 
 def write_dataset(
@@ -143,22 +223,23 @@ def write_dataset(
     seed: int = 42,
     compression: Optional[str] = None,
 ):
-    writer = ParquetWriter(output_path, out_files, row_group_size, compression)
+    writer = ParquetWriter(
+        output_path,
+        out_files,
+        row_group_size,
+        compression,
+        buffer_partitions=buffer_partitions if shuffle in (Shuffle.PER_WORKER, Shuffle.FULL) else 1,
+        seed=seed,
+    )
     rng = np.random.default_rng(seed)
 
     if shuffle == Shuffle.FULL:
         table = dataset.to_table()
         writer.append_split(table, perm=rng.permutation(table.num_rows))
-    elif shuffle == Shuffle.PER_WORKER:
-        buf: List[TableBatch] = []
-        for batch in dataset.to_batches(prefetch=1):
-            buf.append(batch.to_host())
-            if len(buf) >= buffer_partitions:
-                _flush_shuffled(writer, buf, rng)
-                buf = []
-        if buf:
-            _flush_shuffled(writer, buf, rng)
-    elif shuffle == Shuffle.PER_PARTITION:
+    elif shuffle in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION):
+        # streamed scatter-shuffle: every partition is permuted and split
+        # over all files as it arrives; PER_WORKER additionally re-permutes
+        # across each worker's buffered pieces (the multi-partition window)
         for batch in dataset.to_batches(prefetch=1):
             batch = batch.to_host()
             writer.append_split(batch, perm=rng.permutation(batch.num_rows))
@@ -168,11 +249,6 @@ def write_dataset(
     paths = writer.close()
     _write_metadata(output_path, paths)
     return paths
-
-
-def _flush_shuffled(writer: ParquetWriter, buf: List[TableBatch], rng):
-    merged = concat_rows(buf)
-    writer.append_split(merged, perm=rng.permutation(merged.num_rows))
 
 
 def _write_metadata(output_path: str, paths: List[str]):

@@ -189,6 +189,161 @@ class GroupbyStatsAccum:
         return KeyedStats(self.key_cols, stats, combined, {k: a for k, a in zip(self.key_cols, key_arrays)})
 
 
+def _accum_lane_spec(accum: "GroupbyStatsAccum"):
+    """Deterministic (name, dtype) packing order for the multi-host row
+    exchange: key columns (as int64) then the partial payload columns in
+    ``_partial_agg_list`` order. Derived from op config only, so every
+    host computes the identical layout."""
+    keys = [(k, np.int64) for k in accum.key_cols]
+    payloads = []
+    for cont, need in accum._needs.items():
+        if "count" in need:
+            payloads.append((f"{cont}__cnt", np.int64))
+        if "sum" in need:
+            payloads.append((f"{cont}__sum", np.float64))
+        if "sqsum" in need:
+            payloads.append((f"{cont}__sq", np.float64))
+        if "min" in need:
+            payloads.append((f"{cont}__min", np.float64))
+        if "max" in need:
+            payloads.append((f"{cont}__max", np.float64))
+    payloads.append(("__rows", np.int64))
+    return keys, payloads
+
+
+def _exchange_accum(accum: "GroupbyStatsAccum", key_dtypes) -> "GroupbyStatsAccum":
+    """Multi-process reduction of ONE keyed-stats accumulator via the mesh
+    all-to-all row exchange (the same collective backbone as the Categorify
+    vocab exchange — parallel/sharded_vocab.py): each partial-table row is
+    delivered to the owner process of its key tuple, owners re-aggregate
+    with arrow's hash group_by (EXACT even under 64-bit hash collisions:
+    ownership only affects placement, aggregation groups by the full key
+    tuple), and the small disjoint owned shards are allgathered. Replaces
+    the O(hosts × state-bytes) whole-accumulator pickle allgather for large
+    group tables (reference reduces these through the same distributed
+    groupby as vocabs, nvtabular/ops/target_encoding.py:199-214)."""
+    import jax
+    import pyarrow as pa
+
+    from ..parallel.multihost import allgather_pyobj
+    from ..parallel.sharded_vocab import (
+        _owner_of_int64,
+        exchange_keyed_rows,
+        pack_i64_lanes,
+        unpack_i64_lanes,
+    )
+
+    nproc = jax.process_count()
+    accum._reaggregate()
+    keys_spec, payload_spec = _accum_lane_spec(accum)
+    ncols = len(keys_spec) + len(payload_spec)
+
+    if accum.partials:
+        tbl = accum.partials[0]
+        key_arrays = [
+            tbl.column(k).to_numpy(zero_copy_only=False).astype(np.int64)
+            for k, _ in keys_spec
+        ]
+        cols = list(key_arrays) + [
+            np.ascontiguousarray(
+                tbl.column(nm).to_numpy(zero_copy_only=False), dtype=dt
+            )
+            for nm, dt in payload_spec
+        ]
+        lanes = np.hstack([pack_i64_lanes(np.ascontiguousarray(c)) for c in cols])
+        key64 = _h64_multi_key(key_arrays) if len(key_arrays) > 1 else key_arrays[0]
+        owner = _owner_of_int64(key64, nproc)
+    else:
+        lanes = np.empty((0, 2 * ncols), dtype=np.int32)
+        owner = np.empty(0, dtype=np.int64)
+
+    recv = exchange_keyed_rows(lanes, owner)
+    data = {}
+    for j, ((nm, dt), kd) in enumerate(
+        list(zip(keys_spec, key_dtypes)) + [(p, None) for p in payload_spec]
+    ):
+        arr = unpack_i64_lanes(recv[:, 2 * j : 2 * j + 2], dt)
+        if kd is not None:
+            arr = arr.astype(kd)  # restore the fitted key dtype
+        data[nm] = pa.array(arr)
+    owned = pa.table(data)
+    if owned.num_rows:
+        owned = owned.group_by(accum.key_cols).aggregate(accum._partial_agg_list())
+        owned = _strip_agg_suffixes(owned, accum.key_cols)
+
+    shards = allgather_pyobj(owned)
+    merged = GroupbyStatsAccum(accum.key_cols, accum.agg_specs)
+    merged.partials = [s for s in shards if s.num_rows]
+    merged.rows = sum(s.num_rows for s in merged.partials)
+    return merged
+
+
+def reduce_accums_multihost(accums, threshold: Optional[int] = None):
+    """Multi-process reduction for a dict of GroupbyStatsAccum.
+
+    Large int-keyed accumulators ride the all-to-all row exchange (each
+    partial row travels once); small or non-int-keyed ones take the pickle
+    allgather merge. Routing is decided from ALLGATHERED metadata so every
+    host issues the identical collective sequence.
+
+    Returns (merged accums, {"exchange": [tags], "gather": [tags]})."""
+    import pyarrow as pa
+
+    from ..parallel.multihost import allgather_pyobj, process_count
+
+    if process_count() == 1:
+        return accums, {"exchange": [], "gather": sorted(accums)}
+    if threshold is None:
+        threshold = int(os.environ.get("NVT_GROUPBY_EXCHANGE_MIN", 65536))
+
+    local_meta = {}
+    for tag in sorted(accums):
+        a = accums[tag]
+        a._reaggregate()
+        if a.partials:
+            tbl = a.partials[0]
+            int_keys = all(
+                pa.types.is_integer(tbl.schema.field(k).type) for k in a.key_cols
+            )
+            kdts = tuple(
+                tbl.column(k).to_numpy(zero_copy_only=False).dtype.str
+                for k in a.key_cols
+            )
+            local_meta[tag] = ("int" if int_keys else "other", a.rows, kdts)
+        else:
+            local_meta[tag] = ("empty", 0, None)
+
+    all_meta = allgather_pyobj(local_meta)
+    exchange_tags, gather_tags = [], []
+    for tag in sorted(accums):
+        flavors = {m[tag][0] for m in all_meta}
+        max_groups = max(m[tag][1] for m in all_meta)
+        if flavors <= {"int", "empty"} and max_groups >= threshold:
+            exchange_tags.append(tag)
+        else:
+            gather_tags.append(tag)
+
+    out = {}
+    for tag in exchange_tags:
+        kdt_lists = [m[tag][2] for m in all_meta if m[tag][2] is not None]
+        nkeys = len(accums[tag].key_cols)
+        key_dtypes = []
+        for i in range(nkeys):
+            dt = np.dtype(kdt_lists[0][i])
+            for kl in kdt_lists[1:]:
+                dt = np.promote_types(dt, np.dtype(kl[i]))
+            key_dtypes.append(dt)
+        out[tag] = _exchange_accum(accums[tag], key_dtypes)
+    if gather_tags:
+        gathered = allgather_pyobj({t: accums[t] for t in gather_tags})
+        merged = gathered[0]
+        for s in gathered[1:]:
+            for t in merged:
+                merged[t].merge(s[t])
+        out.update(merged)
+    return out, {"exchange": exchange_tags, "gather": gather_tags}
+
+
 def _strip_agg_suffixes(tbl, key_cols):
     """arrow names group_by outputs '<col>_sum' etc; restore partial names."""
     new_names = []

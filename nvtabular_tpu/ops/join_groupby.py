@@ -146,6 +146,15 @@ class JoinGroupby(StatOperator):
                 out[name].merge(s[name])
         return out
 
+    def fit_reduce_multihost(self, state):
+        """Large int-keyed group tables ride the all-to-all row exchange
+        instead of the whole-accumulator pickle allgather (see
+        groupby_stats.reduce_accums_multihost)."""
+        from .groupby_stats import reduce_accums_multihost
+
+        merged, self.last_fit_reduce = reduce_accums_multihost(state)
+        return merged
+
     def fit_finalize(self, state):
         import os
 

@@ -189,6 +189,22 @@ class TargetEncoding(StatOperator):
                 out["cnt"][t] += s["cnt"][t]
         return out
 
+    def fit_reduce_multihost(self, state):
+        """Multi-process reduction: the k-fold group tables (kfold × groups
+        rows — the heavy state) ride the all-to-all row exchange; the global
+        target sums are scalars and take the allgather. Same split as
+        Categorify's vocab exchange (reference reduces TE state through the
+        identical distributed groupby as vocabs, target_encoding.py:199-214)."""
+        from ..parallel.multihost import allgather_pyobj
+
+        from .groupby_stats import reduce_accums_multihost
+
+        all_scalars = allgather_pyobj({"sum": state["sum"], "cnt": state["cnt"]})
+        merged_sum = {t: sum(s["sum"][t] for s in all_scalars) for t in self.target}
+        merged_cnt = {t: sum(s["cnt"][t] for s in all_scalars) for t in self.target}
+        groups, self.last_fit_reduce = reduce_accums_multihost(state["groups"])
+        return {"groups": groups, "sum": merged_sum, "cnt": merged_cnt}
+
     def fit_finalize(self, state):
         import os
 

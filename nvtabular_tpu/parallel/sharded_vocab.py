@@ -145,6 +145,82 @@ def _owner_of_int64(keys: np.ndarray, nproc: int) -> np.ndarray:
     return (h % np.uint64(nproc)).astype(np.int64)
 
 
+def exchange_keyed_rows(lanes: np.ndarray, owner: np.ndarray) -> np.ndarray:
+    """Generic multi-process row exchange: row ``i`` of ``lanes`` (int32,
+    shape [n, L]) is delivered to process ``owner[i]``; returns this
+    process's received rows [m, L] (arbitrary order).
+
+    The collective backbone shared by the vocab count exchange AND the
+    TE/JoinGroupby keyed-stats exchange (VERDICT r2 #4): callers pack
+    (key, payload-vector) rows as int32 lanes, owners aggregate what they
+    receive. Capacity is EXACT — per-(src, dst) lengths are allgathered up
+    front, so skewed key->owner distributions never overflow."""
+    import jax
+
+    nproc = jax.process_count()
+    lanes = np.ascontiguousarray(lanes, dtype=np.int32)
+    if lanes.ndim != 2:
+        raise ValueError("lanes must be [n, L]")
+    n, L = lanes.shape
+    if nproc == 1:
+        return lanes
+
+    import jax.numpy as jnp  # noqa: F401 (jax initialized for the mesh)
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rank = jax.process_index()
+    owner = np.asarray(owner, dtype=np.int64)
+    order = np.argsort(owner, kind="stable")
+    lanes_sorted = lanes[order]
+    owner_sorted = owner[order]
+    bounds = np.searchsorted(owner_sorted, np.arange(nproc + 1))
+    send_lens = (bounds[1:] - bounds[:-1]).astype(np.int64)
+
+    all_lens = np.asarray(
+        multihost_utils.process_allgather(send_lens)
+    ).reshape(nproc, nproc)
+    cap = max(int(all_lens.max()), 1)
+
+    send = np.zeros((nproc, cap, L), dtype=np.int32)
+    for dst in range(nproc):
+        lo, hi = bounds[dst], bounds[dst + 1]
+        if hi > lo:
+            send[dst, : hi - lo] = lanes_sorted[lo:hi]
+
+    per_proc: List[Any] = [None] * nproc
+    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
+        if per_proc[d.process_index] is None:
+            per_proc[d.process_index] = d
+    mesh = Mesh(np.array(per_proc), ("hosts",))
+
+    garr = multihost_utils.host_local_array_to_global_array(send, mesh, P("hosts"))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("hosts"),), out_specs=P("hosts"))
+    def a2a(x):
+        return jax.lax.all_to_all(x, "hosts", split_axis=0, concat_axis=0)
+
+    out = jax.jit(a2a)(garr)
+    recv = np.concatenate([np.asarray(s.data) for s in out.addressable_shards])
+
+    pieces = [recv[src, : int(all_lens[src, rank])] for src in range(nproc)]
+    pieces = [p for p in pieces if len(p)]
+    if not pieces:
+        return np.empty((0, L), dtype=np.int32)
+    return np.concatenate(pieces)
+
+
+def pack_i64_lanes(arr: np.ndarray) -> np.ndarray:
+    """int64/float64 [n] -> int32 [n, 2] lanes (bit-preserving)."""
+    return np.ascontiguousarray(arr).view(np.int32).reshape(-1, 2)
+
+
+def unpack_i64_lanes(lanes: np.ndarray, dtype) -> np.ndarray:
+    """int32 [n, 2] lanes -> [n] of int64/float64 (bit-preserving)."""
+    return np.ascontiguousarray(lanes).view(np.dtype(dtype)).reshape(-1)
+
+
 def exchange_partial_counts(
     keys: np.ndarray, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -174,79 +250,12 @@ def exchange_partial_counts(
     if nproc == 1:
         return keys, counts
 
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
-    from jax.sharding import Mesh, PartitionSpec as P
-    from jax import shard_map
-
-    rank = jax.process_index()
-    owner = _owner_of_int64(keys, nproc)
-    order = np.argsort(owner, kind="stable")
-    keys_sorted = keys[order]
-    counts_sorted = counts[order]
-    owner_sorted = owner[order]
-    bounds = np.searchsorted(owner_sorted, np.arange(nproc + 1))
-    send_lens = (bounds[1:] - bounds[:-1]).astype(np.int64)  # [nproc]
-
-    # exact capacity: every process learns every (src, dst) length
-    all_lens = np.asarray(
-        multihost_utils.process_allgather(send_lens)
-    ).reshape(nproc, nproc)
-    cap = max(int(all_lens.max()), 1)
-
-    # pack (key, count) int64 pairs as 4 × int32 lanes (device int64 is
-    # unreliable with x64 off); row layout [nproc, cap, 4]
-    send = np.zeros((nproc, cap, 4), dtype=np.int32)
-    for dst in range(nproc):
-        lo, hi = bounds[dst], bounds[dst + 1]
-        if hi <= lo:
-            continue
-        k = keys_sorted[lo:hi]
-        c = counts_sorted[lo:hi]
-        n = hi - lo
-        send[dst, :n, 0] = (k & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-        send[dst, :n, 1] = (k >> 32).astype(np.int32)
-        send[dst, :n, 2] = (c & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-        send[dst, :n, 3] = (c >> 32).astype(np.int32)
-
-    # one representative device per process → 'hosts' mesh; the all-to-all
-    # rides DCN between hosts (ICI within a slice)
-    per_proc: List[Any] = [None] * nproc
-    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
-        if per_proc[d.process_index] is None:
-            per_proc[d.process_index] = d
-    mesh = Mesh(np.array(per_proc), ("hosts",))
-
-    garr = multihost_utils.host_local_array_to_global_array(send, mesh, P("hosts"))
-
-    @partial(shard_map, mesh=mesh, in_specs=(P("hosts"),), out_specs=P("hosts"))
-    def a2a(x):
-        return jax.lax.all_to_all(x, "hosts", split_axis=0, concat_axis=0)
-
-    out = jax.jit(a2a)(garr)
-    recv = np.concatenate(
-        [np.asarray(s.data) for s in out.addressable_shards]
-    )  # [nproc, cap, 4]: row s = what source s sent to THIS process
-
-    pieces_k = []
-    pieces_c = []
-    for src in range(nproc):
-        n = int(all_lens[src, rank])
-        if n == 0:
-            continue
-        rows = recv[src, :n]
-        k = (rows[:, 1].astype(np.int64) << 32) | (
-            rows[:, 0].view(np.uint32).astype(np.int64)
-        )
-        c = (rows[:, 3].astype(np.int64) << 32) | (
-            rows[:, 2].view(np.uint32).astype(np.int64)
-        )
-        pieces_k.append(k)
-        pieces_c.append(c)
-    if not pieces_k:
+    lanes = np.hstack([pack_i64_lanes(keys), pack_i64_lanes(counts)])
+    recv = exchange_keyed_rows(lanes, _owner_of_int64(keys, nproc))
+    if len(recv) == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    all_k = np.concatenate(pieces_k)
-    all_c = np.concatenate(pieces_c)
+    all_k = unpack_i64_lanes(recv[:, :2], np.int64)
+    all_c = unpack_i64_lanes(recv[:, 2:], np.int64)
     # groupby-sum: each key appears at most once per source process
     order = np.argsort(all_k, kind="stable")
     sk = all_k[order]

@@ -43,6 +43,12 @@ class Workflow:
         self._fit_engine.fit(_as_dataset(dataset), self.graph)
         return self
 
+    @property
+    def last_fit_stats(self) -> dict:
+        """Phase breakdown of the most recent ``fit``: scan (streaming, scales
+        with rows) vs finalize (per-key fixed cost) vs multi-host reduce."""
+        return dict(self._fit_engine.last_fit_stats)
+
     def fit_schema(self, input_schema: Schema) -> "Workflow":
         self.graph.construct_schema(input_schema)
         return self

@@ -75,6 +75,35 @@ def main():
                 "reduce_paths": getattr(cat_op, "last_fit_reduce", None),
             }
         )
+    elif case == "te_groupby":
+        # >=100K-group k-fold TE + multi-key JoinGroupby: the keyed-stats
+        # state must reduce through the all-to-all row exchange
+        # (ops/groupby_stats.py reduce_accums_multihost), matching the
+        # single-process fit bit-for-bit (int-valued targets sum exactly)
+        te_op = ops.TargetEncoding("label", kfold=3, p_smooth=10)
+        jg_op = ops.JoinGroupby(cont_cols=["y"], stats=["sum", "count", "mean"])
+        wf = nvt.Workflow((["c"] >> te_op) + ([["c", "d"]] >> jg_op))
+        wf.fit(dataset)
+        keyed = te_op.fold_stats["c"]
+        jk = jg_op.keyed["c_d"]
+
+        def sha(arr):
+            return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+        result.update(
+            {
+                "te_groups": int(keyed.num_groups),
+                "te_keys_sha": sha(np.asarray(keyed.key_arrays["c"])),
+                "te_sum_sha": sha(np.asarray(keyed.stats["label.sum"])),
+                "te_cnt_sha": sha(np.asarray(keyed.stats["label.count"])),
+                "te_mean": te_op.means["label"],
+                "jg_groups": int(jk.num_groups),
+                "jg_sum_sha": sha(np.asarray(jk.stats["y.sum"])),
+                "jg_mean_sha": sha(np.asarray(jk.stats["y.mean"])),
+                "te_reduce": getattr(te_op, "last_fit_reduce", None),
+                "jg_reduce": getattr(jg_op, "last_fit_reduce", None),
+            }
+        )
     else:
         raise SystemExit(f"unknown case {case!r}")
 

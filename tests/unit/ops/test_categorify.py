@@ -182,3 +182,23 @@ def test_native_arrow_merge_mixed(monkeypatch):
     values, counts, _ = merged.finalize()
     got = dict(zip(np.asarray(values).tolist(), np.asarray(counts).tolist()))
     assert got == {7: 3, 9: 3, 8: 1}
+
+
+def test_search_sorted_warns_and_matches():
+    """search_sorted=True is accepted for API parity but the gather path runs
+    (measured faster, identical codes) — the kwarg must be observable via a
+    one-time warning (reference honors it: ops/categorify.py:1779-1795)."""
+    import warnings
+
+    df = {"a": np.array([3, 1, 3, 9], dtype=np.int64)}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        op = ops.Categorify(search_sorted=True)
+    assert any("search_sorted" in str(w.message) for w in rec)
+
+    wf = nvt.Workflow(["a"] >> op)
+    out = wf.fit_transform(nvt.Dataset(df)).to_table()
+    ref = nvt.Workflow(["a"] >> ops.Categorify()).fit_transform(nvt.Dataset(df)).to_table()
+    np.testing.assert_array_equal(
+        np.asarray(out["a"].values), np.asarray(ref["a"].values)
+    )

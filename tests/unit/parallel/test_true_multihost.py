@@ -182,3 +182,59 @@ def test_four_process_exchange_matches_single(tmp_path):
     counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
     assert hashlib.sha256(values.tobytes()).hexdigest() == results[0]["values_sha"]
     assert hashlib.sha256(counts.tobytes()).hexdigest() == results[0]["counts_sha"]
+
+
+@pytest.mark.multichip
+def test_two_process_te_groupby_exchange_matches_single(tmp_path):
+    """>=100K-group k-fold TE + multi-key JoinGroupby across two real
+    processes: the keyed-stats state must reduce through the all-to-all
+    row exchange (ops/groupby_stats.py reduce_accums_multihost — NOT the
+    whole-accumulator pickle allgather) and match the single-process fit
+    bit-for-bit. Targets are int-valued so float64 sums are order-exact.
+    Analog of the reference reducing TE state through the same distributed
+    groupby as vocabs (nvtabular/ops/target_encoding.py:199-214)."""
+    import hashlib
+
+    rng = np.random.default_rng(13)
+    n = 1_200_000
+    raw = rng.zipf(1.2, n).astype(np.int64)
+    keys = (raw * np.int64(2654435761)) % np.int64(1 << 34)
+    df = pd.DataFrame(
+        {
+            "c": keys,
+            "d": rng.integers(0, 50, n).astype(np.int32),
+            "y": rng.integers(0, 100, n).astype(np.float64),
+            "label": rng.integers(0, 2, n).astype(np.int64),
+        }
+    )
+    assert len(np.unique(keys)) > 100_000
+    data_dir = str(tmp_path / "tedata")
+    nvt.Dataset(df, part_size=8 * 1024 * 1024).to_parquet(data_dir, output_files=8)
+
+    results = _run_workers(tmp_path, data_dir, "te_groupby")
+    assert results[0] == results[1] or all(
+        results[0][k] == results[1][k] for k in results[0] if k != "process"
+    )
+    # the heavy kfold TE table took the exchange; JoinGroupby too
+    assert results[0]["te_reduce"]["exchange"] == ["c"]
+    assert results[0]["jg_reduce"]["exchange"] == ["c_d"]
+
+    # equals the single-process fit bit-for-bit
+    te_op = ops.TargetEncoding("label", kfold=3, p_smooth=10)
+    jg_op = ops.JoinGroupby(cont_cols=["y"], stats=["sum", "count", "mean"])
+    wf = nvt.Workflow((["c"] >> te_op) + ([["c", "d"]] >> jg_op))
+    wf.fit(nvt.Dataset(data_dir))
+
+    def sha(arr):
+        return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+    keyed = te_op.fold_stats["c"]
+    assert int(keyed.num_groups) == results[0]["te_groups"]
+    assert sha(np.asarray(keyed.key_arrays["c"])) == results[0]["te_keys_sha"]
+    assert sha(np.asarray(keyed.stats["label.sum"])) == results[0]["te_sum_sha"]
+    assert sha(np.asarray(keyed.stats["label.count"])) == results[0]["te_cnt_sha"]
+    assert te_op.means["label"] == results[0]["te_mean"]
+    jk = jg_op.keyed["c_d"]
+    assert int(jk.num_groups) == results[0]["jg_groups"]
+    assert sha(np.asarray(jk.stats["y.sum"])) == results[0]["jg_sum_sha"]
+    assert sha(np.asarray(jk.stats["y.mean"])) == results[0]["jg_mean_sha"]
