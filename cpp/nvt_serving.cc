@@ -423,7 +423,44 @@ static void gather_rows(const T* src, const int64_t* idx, T* out, int64_t n) {
   for (; i < n; ++i) out[i] = src[idx[i]];
 }
 
+// Fused gather-scatter: out[pos[i]] = src[idx[i]] — ONE random-read +
+// random-write pass. The shuffled parquet writer uses it to land rows of
+// several buffered source batches directly in globally-permuted order,
+// replacing three passes (piece gather, window concat, permute gather).
+template <typename T>
+static void gather_scatter_rows(const T* src, const int64_t* idx, T* out,
+                                const int64_t* pos, int64_t n) {
+  constexpr int64_t kBlock = 16;
+  int64_t i = 0;
+  for (; i + kBlock <= n; i += kBlock) {
+    for (int64_t j = 0; j < kBlock; ++j) {
+      __builtin_prefetch(src + idx[i + j], 0, 0);
+      __builtin_prefetch(out + pos[i + j], 1, 0);
+    }
+    for (int64_t j = 0; j < kBlock; ++j) out[pos[i + j]] = src[idx[i + j]];
+  }
+  for (; i < n; ++i) out[pos[i]] = src[idx[i]];
+}
+
 extern "C" {
+
+void nvt_gather_scatter4(const void* src, const int64_t* idx, void* out,
+                         const int64_t* pos, int64_t n) {
+  gather_scatter_rows<int32_t>(static_cast<const int32_t*>(src), idx,
+                               static_cast<int32_t*>(out), pos, n);
+}
+
+void nvt_gather_scatter8(const void* src, const int64_t* idx, void* out,
+                         const int64_t* pos, int64_t n) {
+  gather_scatter_rows<int64_t>(static_cast<const int64_t*>(src), idx,
+                               static_cast<int64_t*>(out), pos, n);
+}
+
+void nvt_gather_scatter1(const void* src, const int64_t* idx, void* out,
+                         const int64_t* pos, int64_t n) {
+  gather_scatter_rows<uint8_t>(static_cast<const uint8_t*>(src), idx,
+                               static_cast<uint8_t*>(out), pos, n);
+}
 
 void nvt_gather4(const void* src, const int64_t* idx, void* out, int64_t n) {
   gather_rows<int32_t>(static_cast<const int32_t*>(src), idx,

@@ -56,7 +56,7 @@ class _FileWorker:
         self.q.put(item)
 
     def _loop(self):
-        buf: List[TableBatch] = []
+        buf: List = []  # (batch, idx) pairs — gathers are DEFERRED to flush
         try:
             while True:
                 item = self.q.get()
@@ -65,13 +65,13 @@ class _FileWorker:
                         self._flush(buf)
                     return
                 batch, idx, shuffled = item
-                piece = batch.take(idx) if idx is not None else batch
                 if shuffled:
-                    buf.append(piece)
+                    buf.append((batch, idx))
                     if len(buf) >= self.buffer_pieces:
                         self._flush(buf)
                         buf = []
                 else:
+                    piece = batch.take(idx) if idx is not None else batch
                     self._write(piece.to_arrow())
         except BaseException as e:  # surfaced by submit()/close()
             self.error = e
@@ -83,12 +83,49 @@ class _FileWorker:
                 except queue.Empty:
                     return
 
-    def _flush(self, buf: List[TableBatch]):
-        merged = buf[0] if len(buf) == 1 else concat_rows(buf)
-        # local permute restores the cross-partition shuffle window: the
-        # buffered pieces each come from a different input partition
-        perm = self.rng.permutation(merged.num_rows)
-        self._write(merged.take(perm).to_arrow())
+    def _flush(self, buf: List):
+        """Land the buffered pieces in globally-permuted order with ONE
+        fused gather-scatter pass per column (out[pos] = src[idx]) — the
+        cross-partition shuffle window without the three-pass
+        gather/concat/permute pipeline."""
+        pieces = [(b, i if i is not None else np.arange(b.num_rows)) for b, i in buf]
+        lens = [len(i) for _, i in pieces]
+        total = int(sum(lens))
+        perm = self.rng.permutation(total)
+        names = pieces[0][0].column_names
+        fused_ok = all(
+            b.column_names == names and not any(b[n].is_list for n in names)
+            for b, _ in pieces
+        )
+        if not fused_ok:  # list columns / mismatched schemas: classic path
+            merged = concat_rows([b.take(i) for b, i in pieces])
+            self._write(merged.take(perm).to_arrow())
+            return
+        from ..serving.native import gather_scatter
+        from ..table import Column, TableBatch as _TB
+
+        out = _TB()
+        bounds = np.cumsum([0] + lens)
+        for name in names:
+            cols = [b[name] for b, _ in pieces]
+            vals0 = np.asarray(cols[0].values)
+            dest = np.empty(total, dtype=vals0.dtype)
+            has_valid = any(c.validity is not None for c in cols)
+            dvalid = np.empty(total, dtype=bool) if has_valid else None
+            for k, (c, (_, idx)) in enumerate(zip(cols, pieces)):
+                pos = perm[bounds[k] : bounds[k + 1]]
+                src = np.asarray(c.values)
+                if not gather_scatter(src, idx, dest, pos):
+                    dest[pos] = src[idx]
+                if has_valid:
+                    if c.validity is None:
+                        dvalid[pos] = True
+                    else:
+                        v = np.asarray(c.validity)
+                        if not gather_scatter(v, idx, dvalid, pos):
+                            dvalid[pos] = v[idx]
+            out[name] = Column(dest, None, dvalid)
+        self._write(out.to_arrow())
 
     def _write(self, table):
         import pyarrow.parquet as pq

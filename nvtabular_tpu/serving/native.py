@@ -137,6 +137,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = [vp, i64p, vp, ctypes.c_int64]
+    for name in ("nvt_gather_scatter1", "nvt_gather_scatter4", "nvt_gather_scatter8"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [vp, i64p, vp, i64p, ctypes.c_int64]
 
 
 def native_available() -> bool:
@@ -428,6 +432,45 @@ def take_rows(values: "np.ndarray", indices: "np.ndarray") -> Optional["np.ndarr
         len(idx),
     )
     return out
+
+
+_GATHER_SCATTER_BY_ITEMSIZE = {
+    1: "nvt_gather_scatter1",
+    4: "nvt_gather_scatter4",
+    8: "nvt_gather_scatter8",
+}
+
+
+def gather_scatter(
+    values: "np.ndarray", indices: "np.ndarray", out: "np.ndarray", positions: "np.ndarray"
+) -> bool:
+    """GIL-releasing fused gather-scatter: out[positions[i]] =
+    values[indices[i]]. Returns False when unsupported (caller falls back
+    to numpy). Indices/positions must be in range."""
+    import ctypes as ct
+
+    if values.dtype.kind not in "iufb" or values.dtype != out.dtype:
+        return False
+    name = _GATHER_SCATTER_BY_ITEMSIZE.get(values.dtype.itemsize)
+    if name is None or values.ndim != 1 or out.ndim != 1:
+        return False
+    try:
+        lib = _build_and_load()
+    except RuntimeError:
+        return False
+    arr = np.ascontiguousarray(values)
+    if not out.flags["C_CONTIGUOUS"]:
+        return False
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    getattr(lib, name)(
+        arr.ctypes.data_as(ct.c_void_p),
+        idx.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out.ctypes.data_as(ct.c_void_p),
+        pos.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        len(idx),
+    )
+    return True
 
 
 def cont_pipe(

@@ -252,3 +252,51 @@ def test_writer_per_worker_distribution(tmp_path):
     np.testing.assert_array_equal(
         np.sort(back["x"].to_numpy()), df["x"].to_numpy()
     )
+
+
+def test_shuffled_write_fused_flush_preserves_content(tmp_path):
+    """The fused gather-scatter flush must preserve the exact row multiset,
+    including validity (nulls) and mixed dtypes, across buffered pieces."""
+    nparts, rows_per = 5, 400
+    frames = []
+    for p in range(nparts):
+        x = np.arange(p * rows_per, (p + 1) * rows_per, dtype=np.int64)
+        y = x.astype(np.float32) / 3.0
+        y[::7] = np.nan  # nulls → validity mask on the float column
+        frames.append(pd.DataFrame({"x": x, "y": y}))
+    ds = nvt.Dataset(
+        [__import__("nvtabular_tpu").table.TableBatch.from_pandas(f) for f in frames]
+    )
+    out_dir = str(tmp_path / "fused")
+    ds.to_parquet(out_dir, shuffle="per_worker", output_files=3)
+    back = nvt.Dataset(out_dir).to_table().to_pandas().sort_values("x")
+    full = pd.concat(frames, ignore_index=True)
+    np.testing.assert_array_equal(back["x"].to_numpy(), full["x"].to_numpy())
+    np.testing.assert_array_equal(
+        np.isnan(back["y"].to_numpy()), np.isnan(full["y"].to_numpy())
+    )
+    ok = ~np.isnan(full["y"].to_numpy())
+    np.testing.assert_allclose(
+        back["y"].to_numpy()[ok], full["y"].to_numpy()[ok], rtol=1e-6
+    )
+
+
+def test_shuffled_write_list_columns_fallback(tmp_path):
+    """List columns route through the classic concat+permute flush."""
+    tb = __import__("nvtabular_tpu").table
+    batches = []
+    for p in range(3):
+        vals = np.arange(p * 30, p * 30 + 30, dtype=np.int64)
+        offs = np.arange(0, 31, 3, dtype=np.int32)  # 10 rows of 3
+        b = tb.TableBatch()
+        b["scalar"] = tb.Column(np.arange(p * 10, p * 10 + 10, dtype=np.int64))
+        b["lst"] = tb.Column(vals, offsets=offs)
+        batches.append(b)
+    ds = nvt.Dataset(batches)
+    out_dir = str(tmp_path / "lists")
+    ds.to_parquet(out_dir, shuffle="per_worker", output_files=2)
+    back = nvt.Dataset(out_dir).to_table().to_pandas().sort_values("scalar")
+    assert len(back) == 30
+    # each list row must travel intact with its scalar: row s has lst [3s,3s+1,3s+2]
+    for s, lst in zip(back["scalar"].to_numpy(), back["lst"].to_list()):
+        np.testing.assert_array_equal(np.asarray(lst), np.arange(3 * s, 3 * s + 3))

@@ -92,3 +92,33 @@ def test_native_fill():
 def test_native_fill_disabled_with_binary_cols():
     fill_op = ops.FillMissing(0.0, add_binary_cols=True)
     assert fill_op.inference_initialize(["x"]) is None
+
+
+def test_gather_scatter_matches_numpy():
+    """out[pos[i]] = src[idx[i]] — the fused pass the shuffled writer uses."""
+    from nvtabular_tpu.serving.native import gather_scatter, native_available
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for dtype in (np.int32, np.int64, np.float32, np.float64, np.bool_):
+        src = (rng.integers(0, 100, 777)).astype(dtype)
+        idx = rng.permutation(777)[:500].astype(np.int64)
+        pos = rng.permutation(500).astype(np.int64)
+        out = np.empty(500, dtype=dtype)
+        assert gather_scatter(src, idx, out, pos)
+        expect = np.empty(500, dtype=dtype)
+        expect[pos] = src[idx]
+        np.testing.assert_array_equal(out, expect)
+
+
+def test_gather_scatter_rejects_unsupported():
+    from nvtabular_tpu.serving.native import gather_scatter
+
+    src = np.array(["a", "b"], dtype=object)
+    out = np.empty(2, dtype=object)
+    assert not gather_scatter(src, np.array([0, 1]), out, np.array([1, 0]))
+    # dtype mismatch between src and out
+    assert not gather_scatter(
+        np.zeros(4, np.int32), np.arange(4), np.empty(4, np.int64), np.arange(4)
+    )
