@@ -119,13 +119,22 @@ class _VocabAccum:
     accumulator); other dtypes fall back to arrow value_counts + group_by.
     """
 
-    def __init__(self):
+    def __init__(self, capacity_hint: int = 0):
         self.partials: List = []  # list of pa.Table(value, count)
         self.rows = 0
         self.null_count = 0
         self._counter = None  # NativeCounter for int keys
         self._use_native: Optional[bool] = None
         self._int_dtype: Optional[np.dtype] = None
+        # pre-size the native table (max_size is an a-priori vocabulary
+        # bound): the counter's empty slots are lazy kernel zero pages, so
+        # an oversized reservation costs only the slots actually touched,
+        # while skipping the growth ladder — migrating the multi-million-key
+        # tables mid-scan measured as the dominant fit-scan cost
+        self._capacity_hint = min(
+            int(capacity_hint or 0),
+            int(os.environ.get("NVT_COUNTER_RESERVE_CAP", 1 << 26)),
+        )
 
     @property
     def native(self) -> bool:
@@ -149,7 +158,9 @@ class _VocabAccum:
             if self._counter is None:
                 from ..serving.native import NativeCounter
 
-                self._counter = NativeCounter()
+                self._counter = NativeCounter(
+                    initial_capacity=max(self._capacity_hint * 10 // 7, 1 << 14)
+                )
                 self._int_dtype = values.dtype
             else:
                 # joint groups mix member columns of different int widths
@@ -227,38 +238,11 @@ class _VocabAccum:
         import pyarrow.compute as pc
 
         if self._counter is not None:
-            keys, counts = self._counter.extract()
-            if self.partials:
-                import pyarrow.types as pat
-
-                if all(
-                    pat.is_integer(t.schema.field("value").type)
-                    for t in self.partials
-                ):
-                    # int-typed partials unify losslessly with the native
-                    # counter's int64 keys (mixed native/arrow arises in
-                    # multi-host merges when one host lacks the native library)
-                    self.partials = [
-                        t.set_column(0, "value", t.column("value").cast(pa.int64()))
-                        for t in self.partials
-                    ]
-                    self.partials.append(pa.table({"value": keys, "count": counts}))
-                else:
-                    # non-integer partials (float/string keys): casting THEM
-                    # to int64 would truncate — instead fold the counter's
-                    # int keys into arrow under the partials' value type
-                    vtype = self.partials[0].schema.field("value").type
-                    self.partials.append(
-                        pa.table(
-                            {
-                                "value": pa.array(keys).cast(vtype),
-                                "count": pa.array(counts, type=pa.int64()),
-                            }
-                        )
-                    )
-            else:
-                order = np.lexsort((keys, -counts))
-                values = keys[order]
+            if not self.partials:
+                # pure-native path: one GIL-released C++ pass collects and
+                # sorts by (-count, key) — replaces extract + np.lexsort
+                # (measured ~4x faster, pool-parallel across columns)
+                values, counts = self._counter.extract_sorted()
                 if self._int_dtype is not None and self._int_dtype != np.dtype(np.int64):
                     info = np.iinfo(self._int_dtype)
                     if len(values) == 0 or (
@@ -266,7 +250,35 @@ class _VocabAccum:
                     ):
                         values = values.astype(self._int_dtype)
                     # else: keys exceed the narrow dtype — stay int64
-                return values, counts[order], self.null_count
+                return values, counts, self.null_count
+            keys, counts = self._counter.extract()
+            import pyarrow.types as pat
+
+            if all(
+                pat.is_integer(t.schema.field("value").type)
+                for t in self.partials
+            ):
+                # int-typed partials unify losslessly with the native
+                # counter's int64 keys (mixed native/arrow arises in
+                # multi-host merges when one host lacks the native library)
+                self.partials = [
+                    t.set_column(0, "value", t.column("value").cast(pa.int64()))
+                    for t in self.partials
+                ]
+                self.partials.append(pa.table({"value": keys, "count": counts}))
+            else:
+                # non-integer partials (float/string keys): casting THEM
+                # to int64 would truncate — instead fold the counter's
+                # int keys into arrow under the partials' value type
+                vtype = self.partials[0].schema.field("value").type
+                self.partials.append(
+                    pa.table(
+                        {
+                            "value": pa.array(keys).cast(vtype),
+                            "count": pa.array(counts, type=pa.int64()),
+                        }
+                    )
+                )
         if not self.partials:
             return np.array([], dtype=object), np.array([], dtype=np.int64), self.null_count
         self._reaggregate()
@@ -709,7 +721,9 @@ class Categorify(StatOperator):
         state: Dict[str, _VocabAccum] = {}
         for key, members in self._groups(col_selector):
             if key not in self.vocabs:  # pre-supplied vocabs skip fitting
-                state[key] = _VocabAccum()
+                state[key] = _VocabAccum(
+                    capacity_hint=_per_column(self.max_size, key, 0)
+                )
         return state
 
     @annotate("Categorify.fit")

@@ -107,10 +107,17 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_counter_create.restype = ctypes.c_void_p
     lib.nvt_counter_create.argtypes = [ctypes.c_int64]
     lib.nvt_counter_update.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int64]
+    lib.nvt_counter_update32.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
     lib.nvt_counter_add.argtypes = [ctypes.c_void_p, i64p, i64p, ctypes.c_int64]
+    lib.nvt_counter_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.nvt_counter_size.restype = ctypes.c_int64
     lib.nvt_counter_size.argtypes = [ctypes.c_void_p]
     lib.nvt_counter_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_counter_extract_sorted.argtypes = [ctypes.c_void_p, i64p, i64p]
     lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
     lib.nvt_cuckoo_build.restype = ctypes.c_int64
     lib.nvt_cuckoo_build.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p]
@@ -288,10 +295,25 @@ class NativeCounter:
         self.handle = self.lib.nvt_counter_create(initial_capacity)
 
     def update(self, values: np.ndarray) -> None:
+        # int32 (and narrower signed) inputs go through the int32 entry
+        # point: the C++ side sign-extends in-register, skipping the
+        # int64 numpy copy per column batch
+        if values.dtype.kind == "i" and values.dtype.itemsize <= 4:
+            vals = np.ascontiguousarray(values, dtype=np.int32)
+            self.lib.nvt_counter_update32(
+                self.handle,
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(vals),
+            )
+            return
         vals = np.ascontiguousarray(values, dtype=np.int64)
         self.lib.nvt_counter_update(
             self.handle, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(vals)
         )
+
+    def reserve(self, n: int) -> None:
+        """Pre-size for ~n distinct keys (one rehash instead of a ladder)."""
+        self.lib.nvt_counter_reserve(self.handle, int(n))
 
     def add(self, keys: np.ndarray, counts: np.ndarray) -> None:
         keys = np.ascontiguousarray(keys, dtype=np.int64)
@@ -312,6 +334,26 @@ class NativeCounter:
         counts = np.empty(n, dtype=np.int64)
         if n:
             self.lib.nvt_counter_extract(
+                self.handle,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        return keys, counts
+
+    def extract_sorted(self):
+        """(keys, counts) in vocabulary order — count desc, key asc — via
+        one GIL-released C++ sort (replaces extract + np.lexsort in
+        Categorify.fit_finalize)."""
+        stash = getattr(self, "_stash", None)
+        if stash is not None:
+            keys, counts = stash
+            order = np.lexsort((keys, -counts))
+            return keys[order], counts[order]
+        n = self.lib.nvt_counter_size(self.handle)
+        keys = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        if n:
+            self.lib.nvt_counter_extract_sorted(
                 self.handle,
                 keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -122,3 +122,47 @@ def test_gather_scatter_rejects_unsupported():
     assert not gather_scatter(
         np.zeros(4, np.int32), np.arange(4), np.empty(4, np.int64), np.arange(4)
     )
+
+
+def test_counter_extract_sorted_and_reserve():
+    """Reworked fit counter: count-field emptiness (INT64_MIN is an
+    ordinary key), C++ (-count, key) sort, reserve pre-sizing."""
+    from nvtabular_tpu.serving.native import NativeCounter
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-(2**40), 2**40, 50000)
+    vals[::11] = np.iinfo(np.int64).min  # old sentinel must count normally
+    vals[::13] = 0  # key zero must count normally despite zero-filled slots
+    c = NativeCounter()
+    c.update(vals)
+    k, cnt = c.extract()
+    import collections
+
+    ref = collections.Counter(vals.tolist())
+    assert len(k) == len(ref)
+    assert {int(x) for x in k} == set(ref)
+    ks, cs = c.extract_sorted()
+    order = np.lexsort((k, -cnt))
+    np.testing.assert_array_equal(ks, k[order])
+    np.testing.assert_array_equal(cs, cnt[order])
+
+    # reserve: same result, no growth ladder
+    r = NativeCounter()
+    r.reserve(200_000)
+    r.update(vals)
+    rk, rc = r.extract_sorted()
+    np.testing.assert_array_equal(rk, ks)
+    np.testing.assert_array_equal(rc, cs)
+
+    # int32 entry point == int64 path
+    v32 = rng.integers(-(2**31), 2**31, 50000).astype(np.int32)
+    a, b = NativeCounter(), NativeCounter()
+    a.update(v32)
+    b.update(v32.astype(np.int64))
+    np.testing.assert_array_equal(a.extract_sorted()[0], b.extract_sorted()[0])
+
+    # zero-count add must not fabricate an entry
+    z = NativeCounter()
+    z.add(np.array([5, 6], dtype=np.int64), np.array([0, 3], dtype=np.int64))
+    zk, zc = z.extract()
+    assert list(zk) == [6] and list(zc) == [3]
