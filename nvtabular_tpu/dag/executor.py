@@ -323,8 +323,217 @@ class JitExecutor(LocalExecutor):
         return memo
 
     def _jit_transform(self, batch: TableBatch, output_node: Node) -> TableBatch:
+        if self.mesh is not None and any(
+            c.is_list for c in batch.columns.values()
+        ):
+            return self._shardmap_transform(batch, output_node)
         prepared = self._prepare(batch, output_node)
         return self._dispatch(prepared, output_node)
+
+    # ------------------------------------------------------------------
+    # mesh path for RAGGED batches: shard_map over per-shard-rebased lists
+    # ------------------------------------------------------------------
+    def _prepare_sharded(self, batch: TableBatch, ndev: int):
+        """Host-side restructure of a (possibly ragged) batch into
+        per-device blocks: rows pad to a power-of-two bucket and split into
+        ``ndev`` contiguous ranges; each list column's values slice is
+        rebased to SHARD-LOCAL offsets and padded to one common bucket, so
+        every device holds a self-contained (values, offsets) pair. The
+        device axis leads every array and shards over the mesh — inside
+        ``shard_map`` each device sees exactly the 1D arrays the
+        single-device program expects (the reference instead partitions
+        list columns through dask, nvtabular/ops/list_slice.py:180-228;
+        here the split is explicit so no collective ever touches the
+        ragged data)."""
+        n_rows = batch.num_rows
+        host = batch.to_host()
+        r_total = max(_next_bucket(n_rows), ndev)
+        if r_total % ndev != 0:  # non-pow2 mesh: caller falls back
+            return None
+        r_local = r_total // ndev
+        flat2d: Dict[str, Any] = {}
+        for name, col in host.columns.items():
+            if col.is_list:
+                offs = np.asarray(col.offsets, dtype=np.int64)
+                if len(offs) < r_total + 1:
+                    offs = np.concatenate(
+                        [offs, np.full(r_total + 1 - len(offs), offs[-1], offs.dtype)]
+                    )
+                starts = offs[:: r_local][: ndev + 1]  # shard boundaries
+                max_len = int((starts[1:] - starts[:-1]).max()) if ndev else 0
+                bucket = _next_bucket(max(max_len, 1))
+                vals2d = np.zeros((ndev, bucket), dtype=col.values.dtype)
+                offs2d = np.empty((ndev, r_local + 1), dtype=np.int32)
+                for d in range(ndev):
+                    lo, hi = int(starts[d]), int(starts[d + 1])
+                    vals2d[d, : hi - lo] = col.values[lo:hi]
+                    offs2d[d] = offs[d * r_local : (d + 1) * r_local + 1] - lo
+                flat2d[f"{name}__values"] = vals2d
+                flat2d[f"{name}__offsets"] = offs2d
+            else:
+                vals = col.values
+                if r_total > len(vals):
+                    vals = np.concatenate(
+                        [vals, np.zeros(r_total - len(vals), dtype=vals.dtype)]
+                    )
+                flat2d[name] = vals.reshape(ndev, r_local)
+            if col.validity is not None:
+                valid = col.validity
+                if r_total > len(valid):
+                    valid = np.concatenate(
+                        [valid, np.ones(r_total - len(valid), dtype=bool)]
+                    )
+                flat2d[f"{name}__validity"] = valid.reshape(ndev, r_local)
+        # pack same-(dtype, shape) blocks: [ndev, k, X] stacks
+        groups: Dict[Any, List[str]] = {}
+        for key, arr in flat2d.items():
+            groups.setdefault((str(arr.dtype), arr.shape[1:]), []).append(key)
+        stacked: Dict[str, Any] = {}
+        layout_items = []
+        for (_, _), keys in groups.items():
+            if len(keys) == 1:
+                stacked[keys[0]] = flat2d[keys[0]]
+                layout_items.append((keys[0], (keys[0],)))
+            else:
+                stack_key = f"__stack_{len(layout_items)}"
+                stacked[stack_key] = np.stack([flat2d[k] for k in keys], axis=1)
+                layout_items.append((stack_key, tuple(keys)))
+        off = int(batch.row_offset or 0)
+        shard_offs = off + np.arange(ndev, dtype=np.uint64) * np.uint64(r_local)
+        stacked["__row_offset_lo__"] = (shard_offs & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32
+        )
+        stacked["__row_offset_hi__"] = (shard_offs >> np.uint64(32)).astype(np.uint32)
+        return tuple(layout_items), stacked, n_rows, batch.row_offset, r_local
+
+    def _shardmap_transform(self, batch: TableBatch, output_node: Node) -> TableBatch:
+        """Mesh transform of a ragged batch: one jitted ``shard_map`` runs
+        the SAME single-device DAG body on each device's local block —
+        fitted state replicates, rows (and each list column's values+offsets)
+        shard on the leading device axis, and the per-shard absolute row
+        offsets ride as sharded uint32 lanes so row-identity ops (k-fold
+        TE) stay correct per shard."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        ndev = int(self.mesh.shape[self.data_axis])
+        prepared = self._prepare_sharded(batch, ndev)
+        if prepared is None:
+            LOG.warning(
+                "mesh shard_map path needs a power-of-two device count; "
+                "running batch on a single device"
+            )
+            return self._dispatch(self._prepare(batch, output_node), output_node)
+        layout, stacked, n_rows, row_offset, r_local = prepared
+        state = self._collect_device_state(output_node)
+        signature = (
+            ("shardmap", ndev, id(output_node)),
+            _fit_generations(output_node),
+            layout,
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in stacked.items())),
+            tuple(sorted((k, str(v.dtype), v.shape) for k, v in state.items())),
+        )
+        fn = self._jit_cache.get(signature)
+        if fn is None:
+            mesh, axis = self.mesh, self.data_axis
+
+            def run_local(stacked_dict, state_dict):
+                local = {
+                    k: v[0] if k.startswith("__row_offset_") else jnp.squeeze(v, 0)
+                    for k, v in stacked_dict.items()
+                }
+                lanes = (local.pop("__row_offset_lo__"), local.pop("__row_offset_hi__"))
+                array_dict = _unstack_arrays(local, layout)
+                b = TableBatch.from_dict_of_arrays(array_dict)
+                b.row_offset = 0
+                with device_state_scope(state_dict), row_offset_scope(lanes):
+                    out = LocalExecutor().transform_batch(b, output_node)
+                return {k: v[None] for k, v in out.to_dict_of_arrays().items()}
+
+            sm_kwargs = dict(
+                mesh=mesh,
+                in_specs=(
+                    {k: P(axis) for k in stacked},
+                    {k: P() for k in state},
+                ),
+                out_specs=P(axis),
+            )
+            try:  # jax>=0.8 renamed check_rep -> check_vma
+                wrapped = shard_map(run_local, check_vma=False, **sm_kwargs)
+            except TypeError:  # pragma: no cover - older jax
+                wrapped = shard_map(run_local, check_rep=False, **sm_kwargs)
+            fn = jax.jit(wrapped)
+            self._jit_cache[signature] = fn
+        device_arrays = {
+            k: jax.device_put(v, NamedSharding(self.mesh, P(self.data_axis)))
+            for k, v in stacked.items()
+        }
+        dev_state = self._get_or_put_device_state(
+            id(output_node), state, lambda: self._put_state(state)
+        )
+        out_arrays = fn(device_arrays, dev_state)
+        return self._reassemble_sharded(
+            out_arrays, output_node, n_rows, row_offset, r_local
+        )
+
+    def _reassemble_sharded(
+        self, out_arrays, output_node: Node, n_rows: int, row_offset, r_local: int
+    ) -> TableBatch:
+        """Global batch from per-shard blocks. Scalar columns are exact
+        reshapes (shard-major order IS row order). List columns compact on
+        the host: the per-shard padded values blocks concatenate with their
+        offsets rebased back to one contiguous values array (a pod
+        deployment would keep the per-shard layout and feed the loader
+        shard-locally instead)."""
+        names = []
+        for key in out_arrays:
+            if key.endswith("__values"):
+                names.append(key[: -len("__values")])
+            elif not key.endswith("__offsets") and not key.endswith("__validity"):
+                names.append(key)
+        out = TableBatch()
+        for name in names:
+            valid2d = out_arrays.get(f"{name}__validity")
+            validity = (
+                np.asarray(valid2d).reshape(-1)[:n_rows] if valid2d is not None else None
+            )
+            if f"{name}__values" in out_arrays:
+                vals2d = np.asarray(out_arrays[f"{name}__values"])
+                offs2d = np.asarray(out_arrays[f"{name}__offsets"])
+                ndev = vals2d.shape[0]
+                pieces = []
+                glob = np.zeros(n_rows + 1, dtype=np.int64)
+                base = 0
+                row = 0
+                for d in range(ndev):
+                    take = min(r_local, n_rows - row)
+                    if take <= 0:
+                        break
+                    # only the values span covered by this shard's valid rows
+                    end = int(offs2d[d, take])
+                    pieces.append(vals2d[d, :end])
+                    glob[row : row + take + 1] = offs2d[d, : take + 1].astype(np.int64) + base
+                    base += end
+                    row += take
+                values = (
+                    np.concatenate(pieces) if pieces else np.zeros(0, vals2d.dtype)
+                )
+                out[name] = Column(values, glob.astype(np.int32), validity)
+            else:
+                arr = out_arrays[name]
+                out[name] = Column(np.asarray(arr).reshape(-1)[:n_rows], None, validity)
+        if output_node.output_schema is not None:
+            out = out.select(
+                [c.name for c in output_node.output_schema if c.name in out]
+            )
+        out.row_offset = row_offset
+        return out
 
     def transform_batches(self, batches, output_node: Node, hetero: Optional[float] = None):
         """Pipelined streaming transform: the HOST work (pad + column
@@ -352,6 +561,12 @@ class JitExecutor(LocalExecutor):
                 if (
                     batch.num_rows < self.jit_min_rows
                     or not self.graph_is_jittable(output_node, batch)
+                    # ragged batches on a mesh take the shard_map path
+                    # (per-shard rebased offsets) via transform_batch
+                    or (
+                        self.mesh is not None
+                        and any(c.is_list for c in batch.columns.values())
+                    )
                 ):
                     # drain pipeline, run fallback (hybrid or host) in order
                     if fut is not None:

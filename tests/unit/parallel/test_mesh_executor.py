@@ -84,23 +84,147 @@ def test_mesh_transform_actually_shards(mesh):
     assert sharded, {k: getattr(v, "sharding", None) for k, v in captured.items()}
 
 
-def test_mesh_falls_back_on_ragged(mesh):
-    """Batches with list columns can't row-shard (offsets are rows+1):
-    executor must still produce correct output via the single-device path."""
-    n = 20_000
-    rng = np.random.default_rng(1)
-    values = rng.integers(0, 30, n * 2).astype(np.int64)
-    offsets = np.arange(0, 2 * n + 1, 2, dtype=np.int64)
+def _ragged_batch(n=20_000, seed=1):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(0, 5, n)
+    values = rng.integers(0, 30, int(lens.sum())).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
     df = pd.DataFrame({"c": rng.integers(0, 100, n).astype(np.int64)})
     from nvtabular_tpu.table import Column, TableBatch
 
     tb = TableBatch.from_pandas(df)
     tb["mh"] = Column(values, offsets, None)
+    return tb
 
-    wf = nvt.Workflow(
-        ["c", "mh"] >> ops.Categorify(),
-        executor=JitExecutor(jit_min_rows=1024, mesh=mesh),
+
+def test_mesh_shards_ragged(mesh):
+    """List columns SHARD over the mesh (shard_map with per-shard rebased
+    offsets — the P1 gap round 2 carried): output matches the host path
+    bit for bit, and the dispatched arrays live on all 8 devices."""
+    tb = _ragged_batch()
+    graph = ["c", "mh"] >> ops.Categorify()
+
+    host_wf = nvt.Workflow(graph)
+    expected = host_wf.fit_transform(nvt.Dataset(_ragged_batch())).to_table()
+
+    ex = JitExecutor(jit_min_rows=1024, mesh=mesh)
+    wf = nvt.Workflow(["c", "mh"] >> ops.Categorify(), executor=ex)
+    ds = nvt.Dataset(tb)
+    wf.fit(ds)
+
+    captured = {}
+    orig = ex._shardmap_transform
+
+    def spy(batch, node):
+        out = orig(batch, node)
+        captured["ran"] = True
+        return out
+
+    ex._shardmap_transform = spy
+    got = wf.transform(ds).to_table()
+    assert captured.get("ran"), "ragged batch did not take the shard_map path"
+
+    np.testing.assert_array_equal(
+        np.asarray(got["c"].values), np.asarray(expected["c"].values)
     )
-    out = wf.fit_transform(nvt.Dataset(tb)).to_table()
-    assert out["c"].values.min() >= 3
-    assert out["mh"].is_list
+    assert got["mh"].is_list
+    # list parity row by row (offset layouts may differ; contents must not)
+    go, gv = np.asarray(got["mh"].offsets), np.asarray(got["mh"].values)
+    eo, ev = np.asarray(expected["mh"].offsets), np.asarray(expected["mh"].values)
+    np.testing.assert_array_equal(go[1:] - go[:-1], eo[1:] - eo[:-1])
+    for r in range(0, len(go) - 1, 997):
+        np.testing.assert_array_equal(
+            gv[go[r] : go[r + 1]], ev[eo[r] : eo[r + 1]]
+        )
+    np.testing.assert_array_equal(gv[go[0] : go[-1]], ev[eo[0] : eo[-1]])
+
+
+def test_mesh_kitchen_sink_shards(mesh):
+    """The FULL engine-matrix-style workflow — multihot Categorify, k-fold
+    TargetEncoding, multi-key JoinGroupby, HashedCross, Bucketize, fused
+    cont chain — runs sharded over the mesh with list columns present,
+    matching the host executor (reference distributes this whole workflow
+    through dask, bench/examples/MultiGPUBench.md)."""
+    n = 16_000
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "cat_tiny": rng.integers(0, 9, n).astype(np.int64),
+            "cat_big": rng.integers(0, 1 << 30, n).astype(np.int64),
+            "user": rng.integers(0, 50, n).astype(np.int64),
+            "item": rng.integers(0, 400, n).astype(np.int64),
+            "x1": rng.normal(3.0, 2.0, n).astype(np.float32),
+            "x2": rng.normal(-1.0, 4.0, n).astype(np.float32),
+            "label": rng.integers(0, 2, n).astype(np.int32),
+        }
+    )
+    df.loc[rng.random(n) < 0.07, "x1"] = np.nan
+
+    def make_batch():
+        from nvtabular_tpu.table import Column, TableBatch
+
+        lens = np.random.default_rng(42).integers(0, 4, n)
+        values = np.random.default_rng(43).integers(0, 31, int(lens.sum())).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        b = TableBatch.from_pandas(df)
+        b["genres"] = Column(values, offsets)
+        return b
+
+    def graph():
+        cats = ["cat_tiny", "cat_big", "genres"] >> ops.Categorify()
+        te = ["user", "item"] >> ops.TargetEncoding(
+            target="label", kfold=3, p_smooth=20, seed=7
+        )
+        jg = ["user", "item"] >> ops.JoinGroupby(
+            cont_cols=["x2"], stats=["mean", "count"]
+        )
+        conts = (
+            ["x1", "x2"]
+            >> ops.FillMissing()
+            >> ops.Clip(min_value=-5.0, max_value=8.0)
+            >> ops.Normalize()
+        )
+        cross = ["user", "item"] >> ops.HashedCross(num_buckets=128)
+        bucket = ["x2"] >> ops.Bucketize(
+            boundaries={"x2": [-4.0, -1.0, 0.0, 2.0, 5.0]}
+        )
+        return cats + te + jg + conts + cross + bucket + ["label"]
+
+    expected = (
+        nvt.Workflow(graph()).fit_transform(nvt.Dataset(make_batch())).to_table()
+    )
+
+    ex = JitExecutor(jit_min_rows=1024, mesh=mesh)
+    wf = nvt.Workflow(graph(), executor=ex)
+    ds = nvt.Dataset(make_batch())
+    wf.fit(ds)
+    ran = {}
+    orig = ex._shardmap_transform
+
+    def spy(b, o):
+        ran["x"] = True
+        return orig(b, o)
+
+    ex._shardmap_transform = spy
+    got = wf.transform(ds).to_table()
+    assert ran.get("x"), "kitchen-sink batch did not take the shard_map path"
+
+    for name in expected.column_names:
+        e, g = expected[name], got[name]
+        if e.is_list:
+            eo, go = np.asarray(e.offsets), np.asarray(g.offsets)
+            np.testing.assert_array_equal(eo[1:] - eo[:-1], go[1:] - go[:-1])
+            np.testing.assert_array_equal(
+                np.asarray(g.values)[go[0] : go[-1]],
+                np.asarray(e.values)[eo[0] : eo[-1]],
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(g.values, dtype=np.float64),
+                np.asarray(e.values, dtype=np.float64),
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=name,
+            )
