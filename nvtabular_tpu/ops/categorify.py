@@ -838,6 +838,22 @@ class Categorify(StatOperator):
                 exchange_keys.append(key)
             else:
                 gather_keys.append(key)
+                if total_uniq >= threshold:
+                    # a LARGE non-int (string) vocab can only take the
+                    # whole-accumulator allgather today: each host receives
+                    # O(hosts x vocab-bytes). The int path escaped this via
+                    # the (key,count) all-to-all; strings would need a
+                    # byte-buffer exchange (documented limit — reference
+                    # shuffles string uniques through dask the same
+                    # hash-partitioned way, categorify.py:1036-1049)
+                    LOG.warning(
+                        "Categorify.fit: vocab %r (%d uniques, non-int keys) "
+                        "reduces via whole-accumulator allgather — "
+                        "O(hosts x bytes) per host. Large string vocabs are "
+                        "a known multi-host scaling limit.",
+                        key,
+                        total_uniq,
+                    )
 
         out: Dict[str, _VocabAccum] = {}
         for key in exchange_keys:
