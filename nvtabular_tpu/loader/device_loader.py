@@ -80,6 +80,29 @@ class DeviceLoader:
                     self.sparse_max[cs.name] = int(vc["max"])
         self._epoch = 0
 
+    def chunks(self) -> Iterator[Dict[str, Any]]:
+        """Permuted FULL-chunk array dicts (no per-batch slicing): feed
+        these to ``models.training.make_chunk_train_fn`` so a whole chunk
+        of steps runs as ONE dispatched ``lax.scan`` program — per-step
+        host dispatches (a program + ~30 slice ops each) are what cap the
+        device feed over a remote/tunnel runtime."""
+        import jax
+
+        key = jax.random.PRNGKey(self.seed + self._epoch)
+        self._epoch += 1
+        try:
+            source = self.dataset.to_batches(host=False)
+        except TypeError:
+            source = self.dataset.to_batches()
+        for chunk in source:
+            arrays = self._device_arrays(chunk)
+            if self.shuffle:
+                key, sub = jax.random.split(key)
+                n = len(next(iter(arrays.values())))
+                perm = jax.random.permutation(sub, n)
+                arrays = _permute_tree(arrays, perm)
+            yield arrays
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         import jax
         import jax.numpy as jnp

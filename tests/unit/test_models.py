@@ -238,3 +238,73 @@ def test_deepfm_dcn_train(family):
         losses.append(float(loss))
     assert losses[-1] < 0.3  # memorizes the parity signal
     assert np.isfinite(losses).all()
+
+
+def test_chunk_train_matches_per_step():
+    """make_chunk_train_fn (one lax.scan dispatch per chunk) must walk the
+    exact same parameter trajectory as the per-step loop."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nvtabular_tpu.models.training import make_chunk_train_fn, make_step_fns
+
+    def loss_fn(params, batch):
+        logits = batch["x"] @ params["w"] + params["b"]
+        y = batch["label"]
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, y))
+
+    rng = np.random.default_rng(0)
+    n, bs, d = 64, 8, 5
+    chunk = {
+        "x": jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, n).astype(np.float32)),
+    }
+    params0 = {"w": jnp.zeros(d, jnp.float32), "b": jnp.zeros((), jnp.float32)}
+    opt = optax.adam(1e-2)
+
+    train_step, _ = make_step_fns(loss_fn, opt)
+    p, o = params0, opt.init(params0)
+    step_losses = []
+    for i in range(n // bs):
+        batch = {k: v[i * bs : (i + 1) * bs] for k, v in chunk.items()}
+        p, o, loss = train_step(p, o, batch)
+        step_losses.append(float(loss))
+
+    train_chunk = make_chunk_train_fn(loss_fn, opt, bs)
+    pc, oc, losses = train_chunk(params0, opt.init(params0), chunk)
+    np.testing.assert_allclose(np.asarray(losses), step_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pc["w"]), np.asarray(p["w"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(pc["b"]), float(p["b"]), rtol=1e-5, atol=1e-6)
+
+
+def test_device_loader_chunks_layout():
+    """DeviceLoader.chunks yields full permuted chunks whose batch layout
+    matches __iter__'s per-batch layout."""
+    import pandas as pd
+
+    import nvtabular_tpu as nvt
+    from nvtabular_tpu.loader import DeviceLoader
+
+    rng = np.random.default_rng(2)
+    n = 512
+    df = pd.DataFrame(
+        {
+            "c1": rng.integers(0, 50, n).astype(np.int32),
+            "x1": rng.normal(size=n).astype(np.float32),
+            "label": rng.integers(0, 2, n).astype(np.float32),
+        }
+    )
+    ds = nvt.Dataset(df)
+    dl = DeviceLoader(
+        ds, batch_size=64, shuffle=False, cat_names=["c1"], cont_names=["x1"],
+        label_names=["label"],
+    )
+    chunk = next(iter(dl.chunks()))
+    assert set(chunk) == {"c1", "dense", "label"}
+    assert chunk["dense"].shape == (n, 1)
+    batches = list(dl)
+    assert len(batches) == n // 64
+    np.testing.assert_array_equal(
+        np.asarray(chunk["c1"][:64]), np.asarray(batches[0]["c1"])
+    )
