@@ -952,8 +952,31 @@ class FitEngine:
             nodes = [n for n in nodes if not isinstance(n.op, Subgraph)]
             if not nodes:
                 continue
+            # mesh fit: ops that can count ON the device mesh (Categorify
+            # single-int-column vocabs) buffer their raw columns during the
+            # scan and run one SPMD exchange+sort per column afterwards —
+            # the fit scan then scales with CHIPS, not host cores (round-2
+            # weak #4; reference scales this with dask workers). Opt out
+            # with NVT_MESH_FIT=0 (e.g. when d2h readback is the wall).
+            mesh = getattr(self.executor, "mesh", None)
+            mesh_axis = getattr(self.executor, "data_axis", "data")
+            mesh_plans: Dict[int, List[str]] = {}
+            if mesh is not None and os.environ.get("NVT_MESH_FIT", "1") != "0":
+                for n in nodes:
+                    plan_fn = getattr(n.op, "fit_mesh_plan", None)
+                    if plan_fn is None:
+                        continue
+                    plan = plan_fn(n.selector, n.input_schema)
+                    if plan:
+                        mesh_plans[id(n)] = plan
+            mesh_buffers: Dict[int, Dict[str, List]] = {
+                nid: {c: [] for c in cols} for nid, cols in mesh_plans.items()
+            }
+
             states = {
-                id(n): n.op.fit_init(n.selector, n.input_schema) for n in nodes
+                id(n): n.op.fit_init(n.selector, n.input_schema)
+                for n in nodes
+                if id(n) not in mesh_plans
             }
             columns = self._phase_columns(nodes)
             scan_start = time.perf_counter()
@@ -961,9 +984,25 @@ class FitEngine:
                 memo: Dict[int, TableBatch] = {}
                 for n in nodes:
                     input_batch = self.executor.compute_node_input(n, batch, memo)
+                    if id(n) in mesh_plans:
+                        for cname in mesh_plans[id(n)]:
+                            col = input_batch[cname].to_host()
+                            vals = np.asarray(col.values)
+                            validity = (
+                                None
+                                if col.is_list or col.validity is None
+                                else np.asarray(col.validity)
+                            )
+                            mesh_buffers[id(n)][cname].append((vals, validity))
+                        continue
                     states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
                 if phase_idx == 0:
                     stats["rows_scanned"] += batch.num_rows
+            for n in nodes:
+                if id(n) in mesh_plans:
+                    states[id(n)] = n.op.fit_mesh(
+                        mesh_buffers.pop(id(n)), mesh, mesh_axis
+                    )
             stats["scan_seconds"] += time.perf_counter() - scan_start
             for n in nodes:
                 state = states[id(n)]

@@ -726,6 +726,94 @@ class Categorify(StatOperator):
                 )
         return state
 
+    def fit_mesh_plan(self, col_selector, input_schema) -> Optional[List[str]]:
+        """Columns this op can fit ON the device mesh, or None.
+
+        Mesh fit moves the vocabulary count onto the chips (one all_to_all
+        exchange+sort per column, parallel/sharded_vocab.py) so the fit
+        SCAN scales with devices instead of host cores — the reference
+        scales this phase with dask workers (categorify.py:955-1137).
+        Supported: every vocab group is a single integer column whose
+        values fit int32 (the exchange keys are int32; the int32 max value
+        itself is reserved as the routing pad)."""
+        cols: List[str] = []
+        for key, members in self._groups(col_selector):
+            if key in self.vocabs:
+                continue
+            if len(members) > 1:
+                return None  # joint/combo groups mix columns: host path
+            name = members[0]
+            col_schema = input_schema.get(name) if input_schema else None
+            if col_schema is None or col_schema.dtype is None:
+                return None
+            kind = np.dtype(col_schema.dtype.to_numpy()).kind
+            if kind not in ("i", "u"):
+                return None
+            cols.append(name)
+        return cols or None
+
+    def fit_mesh(self, buffers: Dict[str, List], mesh, axis: str = "data"):
+        """Device-mesh vocabulary count: per column, ONE SPMD program
+        hash-routes keys to owner devices over the mesh all_to_all and
+        sorts each owner's shard; the host run-length-encodes the disjoint
+        shards into exact (value, count) pairs. Falls back to the host
+        counter for any column whose values exceed int32 (checked on the
+        actual data, not just the schema).
+
+        ``buffers``: {column: [(values, validity), ...]} collected by the
+        FitEngine during its scan. Returns standard fit state (a
+        _VocabAccum per column) so reduce/finalize run unchanged."""
+        from ..parallel.sharded_vocab import _PAD, sharded_value_counts_arrays
+
+        state: Dict[str, _VocabAccum] = {}
+        for name, parts in buffers.items():
+            accum = _VocabAccum()
+            chunks = []
+            for vals, validity in parts:
+                if validity is not None:
+                    accum.null_count += int((~validity).sum())
+                    vals = vals[validity]
+                if len(vals) == 0:
+                    continue
+                accum._int_dtype = (
+                    vals.dtype
+                    if accum._int_dtype is None
+                    else np.promote_types(accum._int_dtype, vals.dtype)
+                )
+                accum.rows += len(vals)
+                chunks.append(vals)
+            keys = (
+                np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+            )
+            in_range = keys.size == 0 or (
+                keys.min() >= np.iinfo(np.int32).min and keys.max() < int(_PAD)
+            )
+            if not in_range:
+                # values outside int32 (or colliding with the pad): count
+                # on the host instead — same exact result
+                accum = _VocabAccum()
+                for vals, validity in parts:
+                    accum.update(np.asarray(vals), validity)
+                state[name] = accum
+                continue
+            vals64, cnts = sharded_value_counts_arrays(
+                keys.astype(np.int32, copy=False), mesh, axis
+            )
+            if _native_counter():
+                from ..serving.native import NativeCounter
+
+                accum._counter = NativeCounter(
+                    initial_capacity=max(len(vals64) * 10 // 7, 1 << 10)
+                )
+                accum._use_native = True
+                accum._counter.add(vals64, cnts)
+            else:  # pragma: no cover - host without the C++ toolchain
+                import pyarrow as pa
+
+                accum.partials = [pa.table({"value": vals64, "count": cnts})]
+            state[name] = accum
+        return state
+
     @annotate("Categorify.fit")
     def fit_batch(self, col_selector, batch: TableBatch, state):
         jobs = []  # (accum, values, validity)

@@ -51,6 +51,28 @@ def sharded_value_counts(
     send capacity was exceeded (badly skewed hashing); retry with a larger
     ``capacity_factor``.
     """
+    flat, shard_len, ndev, overflow = _exchange_sort_pass(
+        keys, mesh, axis, capacity_factor
+    )
+    counts: Dict[int, int] = {}
+    for d in range(ndev):
+        seg = flat[d * shard_len : (d + 1) * shard_len]
+        seg = seg[seg != _PAD]
+        if len(seg) == 0:
+            continue
+        vals, cnts = _run_length(seg)
+        for v, c in zip(vals, cnts):
+            counts[int(v)] = int(c)
+    return counts, overflow
+
+
+def _exchange_sort_pass(
+    keys: np.ndarray, mesh, axis: str = "data", capacity_factor: float = 2.5
+):
+    """The SPMD kernel shared by the dict- and array-returning counters:
+    hash-route keys to owner devices through ONE all_to_all, sort each
+    owner's received shard. Returns (flat sorted shards, per-shard length,
+    ndev, overflow)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -98,19 +120,39 @@ def sharded_value_counts(
         return sorted_keys, jnp.broadcast_to(total_overflow, (1,))
 
     sorted_shards, overflow = jax.jit(exchange_and_sort)(x)
-    # host: run-length encode each owner's sorted shard (disjoint key sets)
     shard_len = ndev * cap
     flat = np.asarray(sorted_shards)
-    counts: Dict[int, int] = {}
-    for d in range(ndev):
-        seg = flat[d * shard_len : (d + 1) * shard_len]
-        seg = seg[seg != _PAD]
-        if len(seg) == 0:
-            continue
-        vals, cnts = _run_length(seg)
-        for v, c in zip(vals, cnts):
-            counts[int(v)] = int(c)
-    return counts, int(np.asarray(overflow)[0])
+    return flat, shard_len, ndev, int(np.asarray(overflow)[0])
+
+
+def sharded_value_counts_arrays(
+    keys: np.ndarray,
+    mesh,
+    axis: str = "data",
+    capacity_factor: float = 2.5,
+    max_retries: int = 6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """`sharded_value_counts` returning (values, counts) int64 ARRAYS with
+    automatic overflow retry — the mesh-fit form (a python dict per
+    multi-million-key vocab would dominate the fit wall-clock).
+
+    The run-length encode is ONE vectorized pass over the concatenated
+    per-owner sorted shards: owners hold DISJOINT key sets, so a key never
+    spans a shard boundary and boundaries-where-value-changes is exact
+    without a global sort."""
+    factor = capacity_factor
+    for _ in range(max_retries):
+        flat, _shard_len, _ndev, overflow = _exchange_sort_pass(keys, mesh, axis, factor)
+        if overflow == 0:
+            flat = flat[flat != _PAD]  # pads sort last within each shard
+            if len(flat) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            vals, cnts = _run_length(flat)
+            return vals.astype(np.int64), cnts.astype(np.int64)
+        factor *= 2
+    raise RuntimeError(
+        f"sharded_value_counts still overflowing at capacity_factor={factor}"
+    )
 
 
 def sharded_value_counts_exact(

@@ -228,3 +228,97 @@ def test_mesh_kitchen_sink_shards(mesh):
                 atol=1e-6,
                 err_msg=name,
             )
+
+
+def test_mesh_fit_counts_on_device(mesh):
+    """Categorify vocabulary counts run ON the mesh (one all_to_all
+    exchange+sort per column): fit_mesh must be invoked, and the fitted
+    vocab — order, codes, null handling, freq_threshold — must equal the
+    host fit exactly. Columns whose values exceed int32 fall back to the
+    host counter inside fit_mesh, still exact."""
+    rng = np.random.default_rng(9)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "c_pow": rng.choice(rng.integers(0, 1 << 30, 4000), n).astype(np.int64),
+            "c_small": rng.integers(0, 15, n).astype(np.int64),
+            "c_wide": rng.integers(0, 1 << 40, n).astype(np.int64),  # > int32
+            "x": rng.normal(size=n).astype(np.float32),
+        }
+    )
+    df.loc[rng.random(n) < 0.1, "c_small"] = -1  # will ride validity? no: value
+    from nvtabular_tpu.table import TableBatch
+
+    tb = TableBatch.from_pandas(df)
+
+    def graph():
+        return (
+            ["c_pow", "c_small", "c_wide"] >> ops.Categorify(freq_threshold=2)
+        ) + (["x"] >> ops.Normalize())
+
+    host_wf = nvt.Workflow(graph())
+    expected = host_wf.fit_transform(nvt.Dataset(TableBatch.from_pandas(df))).to_table()
+
+    ex = JitExecutor(jit_min_rows=1024, mesh=mesh)
+    wf = nvt.Workflow(graph(), executor=ex)
+    cat_op = [nd.op for nd in wf.graph.nodes if isinstance(nd.op, ops.Categorify)][0]
+    called = {}
+    orig = cat_op.fit_mesh
+
+    def spy(buffers, m, axis="data"):
+        called["cols"] = sorted(buffers)
+        return orig(buffers, m, axis)
+
+    cat_op.fit_mesh = spy
+    got = wf.fit_transform(nvt.Dataset(tb)).to_table()
+    assert called.get("cols") == ["c_pow", "c_small", "c_wide"], called
+
+    for name in expected.column_names:
+        np.testing.assert_allclose(
+            np.asarray(got[name].values, dtype=np.float64),
+            np.asarray(expected[name].values, dtype=np.float64),
+            rtol=1e-5,
+            atol=1e-6,
+            err_msg=name,
+        )
+
+
+def test_mesh_fit_multihot_and_nulls(mesh):
+    """Mesh fit over a list (multihot) column — flat values counted — and a
+    nullable int column; parity with the host fit."""
+    rng = np.random.default_rng(4)
+    n = 8192
+    lens = rng.integers(0, 4, n)
+    values = rng.integers(0, 200, int(lens.sum())).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    from nvtabular_tpu.table import Column, TableBatch
+
+    def make():
+        b = TableBatch()
+        b["mh"] = Column(values.copy(), offsets.copy())
+        nullable = rng.integers(0, 50, n).astype(np.int64)
+        b["c"] = Column(nullable, None, rng.random(n) > 0.1)
+        return b
+
+    batch = make()
+    expected = (
+        nvt.Workflow(["mh", "c"] >> ops.Categorify())
+        .fit_transform(nvt.Dataset(batch))
+        .to_table()
+    )
+    got = (
+        nvt.Workflow(
+            ["mh", "c"] >> ops.Categorify(),
+            executor=JitExecutor(jit_min_rows=1024, mesh=mesh),
+        )
+        .fit_transform(nvt.Dataset(batch))
+        .to_table()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["c"].values), np.asarray(expected["c"].values)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["mh"].values)[: int(offsets[-1])],
+        np.asarray(expected["mh"].values)[: int(offsets[-1])],
+    )
