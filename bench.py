@@ -239,16 +239,17 @@ def main():
         )
         return rows_per_pass / dt
 
-    # the shared tunnel adds ±2x run-to-run noise per pass: sweep once to
-    # find the best split, then re-time THAT split three times and report
-    # the MEDIAN of the repeats — the headline is a repeated observation
-    # of one configuration, never the single lucky sweep pass (the max is
-    # still recorded as detail.best_pass)
+    # the shared tunnel adds ±2x run-to-run noise per pass: sweep once,
+    # re-observe the top THREE splits once each (a single noisy sweep pass
+    # must not steer the choice), then re-time the best of those two more
+    # times — the headline is the MEDIAN of three observations of ONE
+    # configuration, never a single lucky pass (the max is still recorded
+    # as detail.best_pass)
     sweep = {mode_host: timed_pass(mode_host) for mode_host in splits}
-    top2 = sorted(sweep, key=sweep.get, reverse=True)[:2]
-    repeats = [timed_pass(top2[0]) for _ in range(3)]
-    if len(top2) > 1:
-        timed_pass(top2[1])  # sanity point for the runner-up split
+    top3 = sorted(sweep, key=sweep.get, reverse=True)[:3]
+    second_obs = {mode_host: timed_pass(mode_host) for mode_host in top3}
+    best_split = max(second_obs, key=second_obs.get)
+    repeats = [second_obs[best_split]] + [timed_pass(best_split) for _ in range(2)]
     rows_per_sec = float(np.median(repeats))
     best_pass = max(pass_rates)
 
