@@ -96,6 +96,12 @@ class DeviceLoader:
             source = self.dataset.to_batches()
         for chunk in source:
             arrays = self._device_arrays(chunk)
+            if not arrays:
+                raise ValueError(
+                    "DeviceLoader selected no columns: pass cat_names/"
+                    "cont_names/label_names explicitly, or load a dataset "
+                    "whose schema carries CATEGORICAL/CONTINUOUS/TARGET tags"
+                )
             if self.shuffle:
                 key, sub = jax.random.split(key)
                 n = len(next(iter(arrays.values())))

@@ -12,6 +12,7 @@ EXAMPLES = [
     "examples/02_advanced_ops.py",
     "examples/03_dlrm_training.py",
     "examples/04_scaling_hetero.py",
+    "examples/05_multichip_pipeline.py",
 ]
 
 
