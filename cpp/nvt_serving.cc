@@ -232,6 +232,60 @@ struct I64Map {
   }
 };
 
+// int32-key variant of I64Map: 8-byte entries pack EIGHT slots per cache
+// line, halving the table's footprint — the multi-million-key Criteo
+// vocabularies (raw ids are int32) are DRAM-latency bound, and the smaller
+// table roughly doubles the L3-resident fraction of the hot head. Chosen
+// automatically by nvt_cat_create_i64 when every key fits int32.
+struct I32Map {
+  struct Entry {
+    int32_t key;
+    int32_t val;
+  };
+  HugeArray<Entry> entries;
+  uint64_t mask = 0;
+  bool has_sentinel_key = false;  // a real key equal to INT32_MIN
+  int32_t sentinel_val = 0;
+
+  static constexpr int32_t kEmpty32 = INT32_MIN;
+
+  void build(const int64_t* in_keys, const int32_t* codes, int64_t n) {
+    uint64_t cap = next_pow2(static_cast<uint64_t>(n) * 2 + 1);
+    if (cap < 16) cap = 16;
+    entries.assign(cap, Entry{kEmpty32, 0});
+    mask = cap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t k = static_cast<int32_t>(in_keys[i]);
+      if (k == kEmpty32) {
+        has_sentinel_key = true;
+        sentinel_val = codes[i];
+        continue;
+      }
+      uint64_t slot = mix64(static_cast<uint64_t>(static_cast<uint32_t>(k))) & mask;
+      while (entries[slot].key != kEmpty32) slot = (slot + 1) & mask;
+      entries[slot].key = k;
+      entries[slot].val = codes[i];
+    }
+  }
+
+  inline uint64_t slot_of(int32_t k) const {
+    return mix64(static_cast<uint64_t>(static_cast<uint32_t>(k))) & mask;
+  }
+
+  inline void prefetch(uint64_t slot) const {
+    __builtin_prefetch(&entries[slot], 0, 1);
+  }
+
+  inline bool find_from(uint64_t slot, int32_t k, int32_t* out) const {
+    while (true) {
+      const Entry& e = entries[slot];
+      if (e.key == k) { *out = e.val; return true; }
+      if (e.key == kEmpty32) return false;
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
 // Open-addressing string -> int32 map: keys stored as (offset,len) into a blob.
 struct StrMap {
   std::string blob;
@@ -275,6 +329,7 @@ struct StrMap {
 
 struct Table {
   std::unique_ptr<I64Map> i64;
+  std::unique_ptr<I32Map> i32;
   std::unique_ptr<StrMap> str;
 };
 
@@ -291,10 +346,58 @@ TablePtr* wrap(TablePtr p) { return new TablePtr(std::move(p)); }
 // (single-OOV-bucket contract, matching the reference C++ kernel's
 // "only one OOV bucket" restriction, categorify.cc:261-263).
 template <typename TIn>
+void encode_ints_i32(const I32Map& m, const TIn* vals, const uint8_t* validity,
+                     int64_t n, int32_t null_index, int32_t oov_index,
+                     int32_t offset, int32_t* out) {
+  constexpr int64_t kBlock = 16;
+  uint64_t slots[kBlock];
+  bool in_range[kBlock];
+  for (int64_t base = 0; base < n; base += kBlock) {
+    const int64_t m_n = (n - base) < kBlock ? (n - base) : kBlock;
+    for (int64_t j = 0; j < m_n; ++j) {
+      const int64_t v = static_cast<int64_t>(vals[base + j]);
+      // values outside int32 can't be in an int32-keyed vocab: OOV
+      // (the check folds away when TIn is int32)
+      const bool ok = sizeof(TIn) <= 4 ||
+                      (v >= INT32_MIN && v <= INT32_MAX);
+      in_range[j] = ok;
+      const uint64_t s = m.slot_of(static_cast<int32_t>(v));
+      slots[j] = s;
+      if (ok) m.prefetch(s);
+    }
+    for (int64_t j = 0; j < m_n; ++j) {
+      const int64_t i = base + j;
+      if (validity && !validity[i]) {
+        out[i] = null_index + offset;
+        continue;
+      }
+      if (!in_range[j]) {
+        out[i] = oov_index + offset;
+        continue;
+      }
+      const int32_t k = static_cast<int32_t>(vals[i]);
+      int32_t code;
+      bool hit;
+      if (k == I32Map::kEmpty32) {
+        hit = m.has_sentinel_key;
+        code = m.sentinel_val;
+      } else {
+        hit = m.find_from(slots[j], k, &code);
+      }
+      out[i] = (hit ? code : oov_index) + offset;
+    }
+  }
+}
+
+template <typename TIn>
 void encode_ints(void* h, const TIn* vals, const uint8_t* validity,
                  int64_t n, int32_t null_index, int32_t oov_index,
                  int32_t offset, int32_t* out) {
   const Table& t = **static_cast<TablePtr*>(h);
+  if (t.i32) {
+    encode_ints_i32(*t.i32, vals, validity, n, null_index, oov_index, offset, out);
+    return;
+  }
   const I64Map& m = *t.i64;
   // blocked probe with software prefetch: hash+prefetch a block of slots,
   // then resolve — keeps a window of independent HBM misses in flight
@@ -348,8 +451,22 @@ void* nvt_cat_lookup(const char* name) {
 void* nvt_cat_create_i64(const char* name, const int64_t* keys, const int32_t* codes,
                          int64_t n) {
   auto table = std::make_shared<Table>();
-  table->i64 = std::make_unique<I64Map>();
-  table->i64->build(keys, codes, n);
+  bool fits32 = true;
+  for (int64_t i = 0; i < n; ++i) {
+    if (keys[i] < INT32_MIN || keys[i] > INT32_MAX) {
+      fits32 = false;
+      break;
+    }
+  }
+  if (fits32) {
+    // half-size entries (8B): multi-million-key probes are DRAM-latency
+    // bound and the smaller table keeps more of the hot head in L3
+    table->i32 = std::make_unique<I32Map>();
+    table->i32->build(keys, codes, n);
+  } else {
+    table->i64 = std::make_unique<I64Map>();
+    table->i64->build(keys, codes, n);
+  }
   {
     std::lock_guard<std::mutex> lock(g_mu);
     g_cache[name] = table;

@@ -166,3 +166,38 @@ def test_counter_extract_sorted_and_reserve():
     z.add(np.array([5, 6], dtype=np.int64), np.array([0, 3], dtype=np.int64))
     zk, zc = z.extract()
     assert list(zk) == [6] and list(zc) == [3]
+
+
+def test_native_encode_i32map_boundaries():
+    """int32-keyed table variant: INT32_MIN key (the in-table sentinel),
+    int64 probe values outside int32 range (must be OOV, never truncated
+    into a false hit), and parity with the int64 path."""
+    from nvtabular_tpu.serving.native import _ColumnTable
+
+    keys = np.array(
+        [np.iinfo(np.int32).min, -5, 0, 7, np.iinfo(np.int32).max - 1],
+        dtype=np.int64,
+    )
+    codes = np.arange(3, 3 + len(keys), dtype=np.int32)
+    t = _ColumnTable.from_arrays("i32map-test", keys, codes)
+
+    probe = np.array(
+        [
+            np.iinfo(np.int32).min,          # sentinel key -> its code
+            7,                               # hit
+            12345,                           # miss -> OOV
+            np.int64(2) ** 40,               # out of int32 range -> OOV
+            -(np.int64(2) ** 40),            # out of range negative -> OOV
+            # a value whose LOW 32 bits equal key 7 (truncation trap)
+            np.int64(7) + (np.int64(1) << 32),
+        ],
+        dtype=np.int64,
+    )
+    out = t.encode(probe, None, null_index=1, oov_index=2, offset=0)
+    np.testing.assert_array_equal(out, [3, 6, 2, 2, 2, 2])
+
+    # int32 source width probes the same table
+    out32 = t.encode(
+        np.array([7, 12345, 0], dtype=np.int32), None, 1, 2, 0
+    )
+    np.testing.assert_array_equal(out32, [6, 2, 5])
