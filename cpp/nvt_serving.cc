@@ -837,9 +837,172 @@ struct Counter {
   }
 };
 
+// int32-key / uint32-count variant: 8-byte entries — the fit scan is
+// DRAM-latency bound exactly like the encode probes, and halving the
+// table doubles the cache-resident fraction (same rationale as I32Map).
+// A count reaching 2^31 sets `promote`; the caller migrates the whole
+// table into the 64-bit Counter and continues there (counts stay exact).
+struct Counter32 {
+  struct Entry {
+    int32_t key;
+    uint32_t cnt;  // cnt == 0 <=> empty slot
+  };
+  HugeArray<Entry> entries;
+  uint64_t mask = 0;
+  uint64_t used = 0;
+  bool promote = false;
+
+  static constexpr uint32_t kCntCap = 0x80000000u;  // 2^31
+
+  explicit Counter32(uint64_t cap) { reset(next_pow2(cap < 16 ? 16 : cap)); }
+
+  void reset(uint64_t cap) {
+    entries.assign_zero(cap);
+    mask = cap - 1;
+    used = 0;
+  }
+
+  void rehash_to(uint64_t cap) {
+    HugeArray<Entry> old;
+    old.swap(entries);
+    reset(cap);
+    constexpr size_t kBlock = 32;
+    const size_t n = old.size();
+    for (size_t base = 0; base < n; base += kBlock) {
+      const size_t end = base + kBlock < n ? base + kBlock : n;
+      for (size_t i = base; i < end; ++i) {
+        if (old[i].cnt != 0) {
+          __builtin_prefetch(
+              &entries[mix64(static_cast<uint64_t>(
+                           static_cast<uint32_t>(old[i].key))) &
+                       mask],
+              1, 1);
+        }
+      }
+      for (size_t i = base; i < end; ++i) {
+        if (old[i].cnt == 0) continue;
+        uint64_t slot =
+            mix64(static_cast<uint64_t>(static_cast<uint32_t>(old[i].key))) & mask;
+        while (entries[slot].cnt != 0) slot = (slot + 1) & mask;
+        entries[slot] = old[i];
+        ++used;
+      }
+    }
+  }
+
+  void grow() {
+    const uint64_t old_cap = mask + 1;
+    const uint64_t factor =
+        old_cap * sizeof(Entry) >= (uint64_t(16) << 20) ? 4 : 2;
+    rehash_to(old_cap * factor);
+  }
+
+  void reserve(uint64_t n) {
+    const uint64_t need = next_pow2(n + (n * 3) / 7 + 1);
+    if (need > mask + 1) rehash_to(need);
+  }
+
+  inline uint64_t slot_of(int32_t k) const {
+    return mix64(static_cast<uint64_t>(static_cast<uint32_t>(k))) & mask;
+  }
+
+  inline void add(int32_t k, uint32_t c) {
+    if (c == 0) return;
+    uint64_t slot = slot_of(k);
+    while (true) {
+      Entry& e = entries[slot];
+      if (e.cnt == 0) {
+        e.key = k;
+        e.cnt = c;
+        if (++used * 10 > (mask + 1) * 7) grow();
+        return;
+      }
+      if (e.key == k) {
+        e.cnt += c;
+        if (e.cnt >= kCntCap) promote = true;
+        return;
+      }
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* nvt_counter32_create(int64_t initial_capacity) {
+  return new Counter32(static_cast<uint64_t>(
+      initial_capacity > 0 ? initial_capacity : 1024));
+}
+
+// returns 1 when some count crossed 2^31: caller must drain into the
+// 64-bit counter (counts are still exact at the moment of the signal)
+int32_t nvt_counter32_update(void* h, const int32_t* vals, int64_t n) {
+  Counter32& c = *static_cast<Counter32*>(h);
+  constexpr int64_t kBlock = 16;
+  for (int64_t base = 0; base < n; base += kBlock) {
+    const int64_t m_n = (n - base) < kBlock ? (n - base) : kBlock;
+    for (int64_t j = 0; j < m_n; ++j) {
+      __builtin_prefetch(&c.entries[c.slot_of(vals[base + j])], 1, 1);
+    }
+    for (int64_t j = 0; j < m_n; ++j) c.add(vals[base + j], 1);
+  }
+  return c.promote ? 1 : 0;
+}
+
+void nvt_counter32_reserve(void* h, int64_t n) {
+  static_cast<Counter32*>(h)->reserve(static_cast<uint64_t>(n > 0 ? n : 0));
+}
+
+int64_t nvt_counter32_size(void* h) {
+  return static_cast<int64_t>(static_cast<Counter32*>(h)->used);
+}
+
+void nvt_counter32_extract(void* h, int64_t* keys_out, int64_t* counts_out) {
+  Counter32& c = *static_cast<Counter32*>(h);
+  int64_t j = 0;
+  for (size_t i = 0; i <= c.mask; ++i) {
+    if (c.entries[i].cnt != 0) {
+      keys_out[j] = c.entries[i].key;
+      counts_out[j] = c.entries[i].cnt;
+      ++j;
+    }
+  }
+}
+
+void nvt_counter32_extract_sorted(void* h, int64_t* keys_out, int64_t* counts_out) {
+  Counter32& c = *static_cast<Counter32*>(h);
+  std::vector<Counter32::Entry> items;
+  items.reserve(c.used);
+  for (size_t i = 0; i <= c.mask; ++i) {
+    if (c.entries[i].cnt != 0) items.push_back(c.entries[i]);
+  }
+  std::sort(items.begin(), items.end(),
+            [](const Counter32::Entry& a, const Counter32::Entry& b) {
+              if (a.cnt != b.cnt) return a.cnt > b.cnt;
+              return a.key < b.key;
+            });
+  for (size_t i = 0; i < items.size(); ++i) {
+    keys_out[i] = items[i].key;
+    counts_out[i] = items[i].cnt;
+  }
+}
+
+// migrate every (key, count) of the 32-bit counter into the 64-bit one
+// (promotion on count overflow, or a merge that needs 64-bit keys)
+void nvt_counter32_drain_into(void* h64, void* h32) {
+  Counter& dst = *static_cast<Counter*>(h64);
+  Counter32& src = *static_cast<Counter32*>(h32);
+  for (size_t i = 0; i <= src.mask; ++i) {
+    if (src.entries[i].cnt != 0) {
+      dst.add(static_cast<int64_t>(src.entries[i].key),
+              static_cast<int64_t>(src.entries[i].cnt));
+    }
+  }
+}
+
+void nvt_counter32_free(void* h) { delete static_cast<Counter32*>(h); }
 
 void* nvt_counter_create(int64_t initial_capacity) {
   return new Counter(static_cast<uint64_t>(

@@ -118,6 +118,18 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_counter_size.argtypes = [ctypes.c_void_p]
     lib.nvt_counter_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
     lib.nvt_counter_extract_sorted.argtypes = [ctypes.c_void_p, i64p, i64p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.nvt_counter32_create.restype = ctypes.c_void_p
+    lib.nvt_counter32_create.argtypes = [ctypes.c_int64]
+    lib.nvt_counter32_update.restype = ctypes.c_int32
+    lib.nvt_counter32_update.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
+    lib.nvt_counter32_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.nvt_counter32_size.restype = ctypes.c_int64
+    lib.nvt_counter32_size.argtypes = [ctypes.c_void_p]
+    lib.nvt_counter32_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_counter32_extract_sorted.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_counter32_drain_into.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.nvt_counter32_free.argtypes = [ctypes.c_void_p]
     lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
     lib.nvt_cuckoo_build.restype = ctypes.c_int64
     lib.nvt_cuckoo_build.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p]
@@ -286,15 +298,55 @@ class _ColumnTable:
 
 
 class NativeCounter:
-    """Streaming int64 value counter (C++ open-addressing map) — the
+    """Streaming integer value counter (C++ open-addressing map) — the
     fit-time vocabulary-count hot loop. Single-writer; picklable as its
-    extracted (keys, counts) arrays so multi-host fit_merge works."""
+    extracted (keys, counts) arrays so multi-host fit_merge works.
+
+    Dual width: int32-typed key streams count through 8-byte-entry tables
+    (half the footprint of the int64 map — the scan is DRAM-latency
+    bound, so the doubled cache-resident fraction is a direct speedup);
+    the counter transparently PROMOTES itself to the 64-bit map when a
+    count crosses 2^31, a later batch brings 64-bit keys, or a merge
+    adds arbitrary (key, count) pairs. Counts stay exact throughout."""
 
     def __init__(self, initial_capacity: int = 1 << 14):
         self.lib = _build_and_load()
-        self.handle = self.lib.nvt_counter_create(initial_capacity)
+        self.handle = None  # 64-bit map (created on demand)
+        self.handle32 = None  # 32-bit map (first int32 stream)
+        self._capacity_hint = int(initial_capacity)
+
+    # -- internal ------------------------------------------------------
+    def _ensure64(self) -> None:
+        """Create the 64-bit map, draining the 32-bit one if present."""
+        if self.handle is not None:
+            return
+        cap = self._capacity_hint
+        if self.handle32 is not None:
+            cap = max(cap, int(self.lib.nvt_counter32_size(self.handle32)) * 10 // 7)
+        self.handle = self.lib.nvt_counter_create(cap)
+        if self.handle32 is not None:
+            self.lib.nvt_counter32_drain_into(self.handle, self.handle32)
+            self.lib.nvt_counter32_free(self.handle32)
+            self.handle32 = None
 
     def update(self, values: np.ndarray) -> None:
+        if (
+            self.handle is None
+            and values.dtype.kind == "i"
+            and values.dtype.itemsize <= 4
+        ):
+            vals = np.ascontiguousarray(values, dtype=np.int32)
+            if self.handle32 is None:
+                self.handle32 = self.lib.nvt_counter32_create(self._capacity_hint)
+            promote = self.lib.nvt_counter32_update(
+                self.handle32,
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(vals),
+            )
+            if promote:  # a count crossed 2^31 — continue in 64-bit
+                self._ensure64()
+            return
+        self._ensure64()
         # int32 (and narrower signed) inputs go through the int32 entry
         # point: the C++ side sign-extends in-register, skipping the
         # int64 numpy copy per column batch
@@ -313,9 +365,14 @@ class NativeCounter:
 
     def reserve(self, n: int) -> None:
         """Pre-size for ~n distinct keys (one rehash instead of a ladder)."""
-        self.lib.nvt_counter_reserve(self.handle, int(n))
+        self._capacity_hint = max(self._capacity_hint, int(n))
+        if self.handle32 is not None:
+            self.lib.nvt_counter32_reserve(self.handle32, int(n))
+        if self.handle is not None:
+            self.lib.nvt_counter_reserve(self.handle, int(n))
 
     def add(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        self._ensure64()  # merge pairs carry arbitrary keys/counts
         keys = np.ascontiguousarray(keys, dtype=np.int64)
         counts = np.ascontiguousarray(counts, dtype=np.int64)
         self.lib.nvt_counter_add(
@@ -325,20 +382,35 @@ class NativeCounter:
             len(keys),
         )
 
+    def _size(self) -> int:
+        if self.handle is not None:
+            return int(self.lib.nvt_counter_size(self.handle))
+        if self.handle32 is not None:
+            return int(self.lib.nvt_counter32_size(self.handle32))
+        return 0
+
+    def _extract_via(self, fn64, fn32):
+        n = self._size()
+        keys = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        if n:
+            kp = keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            cp = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            if self.handle is not None:
+                fn64(self.handle, kp, cp)
+            else:
+                fn32(self.handle32, kp, cp)
+        return keys, counts
+
     def extract(self):
         stash = getattr(self, "_stash", None)
         if stash is not None:
             return stash
-        n = self.lib.nvt_counter_size(self.handle)
-        keys = np.empty(n, dtype=np.int64)
-        counts = np.empty(n, dtype=np.int64)
-        if n:
-            self.lib.nvt_counter_extract(
-                self.handle,
-                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            )
-        return keys, counts
+        if self.handle is None and self.handle32 is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return self._extract_via(
+            self.lib.nvt_counter_extract, self.lib.nvt_counter32_extract
+        )
 
     def extract_sorted(self):
         """(keys, counts) in vocabulary order — count desc, key asc — via
@@ -349,16 +421,12 @@ class NativeCounter:
             keys, counts = stash
             order = np.lexsort((keys, -counts))
             return keys[order], counts[order]
-        n = self.lib.nvt_counter_size(self.handle)
-        keys = np.empty(n, dtype=np.int64)
-        counts = np.empty(n, dtype=np.int64)
-        if n:
-            self.lib.nvt_counter_extract_sorted(
-                self.handle,
-                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            )
-        return keys, counts
+        if self.handle is None and self.handle32 is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return self._extract_via(
+            self.lib.nvt_counter_extract_sorted,
+            self.lib.nvt_counter32_extract_sorted,
+        )
 
     def __getstate__(self):
         keys, counts = self.extract()
@@ -368,24 +436,29 @@ class NativeCounter:
         # a host WITHOUT the native toolchain must still be able to receive
         # a pickled counter from a peer during multi-host fit_merge — fall
         # back to carrying the arrays (extract() serves them to the merge)
+        self.handle = None
+        self.handle32 = None
+        self._capacity_hint = max(len(state["keys"]) * 2, 1024)
         try:
             self.lib = _build_and_load()
         except RuntimeError:
             self.lib = None
-            self.handle = None
             self._stash = (np.asarray(state["keys"]), np.asarray(state["counts"]))
             return
-        self.handle = self.lib.nvt_counter_create(max(len(state["keys"]) * 2, 1024))
         if len(state["keys"]):
             self.add(state["keys"], state["counts"])
 
     def __del__(self):
-        handle = getattr(self, "handle", None)
-        if handle and getattr(self, "lib", None) is not None:
-            try:
-                self.lib.nvt_counter_free(handle)
-            except Exception:
-                pass
+        lib = getattr(self, "lib", None)
+        if lib is None:
+            return
+        try:
+            if getattr(self, "handle", None):
+                lib.nvt_counter_free(self.handle)
+            if getattr(self, "handle32", None):
+                lib.nvt_counter32_free(self.handle32)
+        except Exception:
+            pass
 
 
 class CategorifyTransform:

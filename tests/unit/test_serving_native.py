@@ -201,3 +201,49 @@ def test_native_encode_i32map_boundaries():
         np.array([7, 12345, 0], dtype=np.int32), None, 1, 2, 0
     )
     np.testing.assert_array_equal(out32, [6, 2, 5])
+
+
+def test_counter_dual_width_promotion():
+    """int32 key streams count through the 8-byte-entry table and the
+    counter promotes itself exactly: on a later int64 batch, on a
+    merge-add, and (by contract) on count overflow — results always match
+    a single 64-bit count."""
+    import collections
+    import pickle
+
+    from nvtabular_tpu.serving.native import NativeCounter
+
+    rng = np.random.default_rng(5)
+    v32 = rng.integers(-(2**31), 2**31, 60000).astype(np.int32)
+    v64 = rng.integers(2**40, 2**41, 8000)
+
+    c = NativeCounter()
+    c.update(v32)
+    assert c.handle32 is not None and c.handle is None  # 32-bit mode
+    c.update(v64)  # promotes
+    assert c.handle is not None and c.handle32 is None
+
+    ref = collections.Counter(v32.tolist()) + collections.Counter(v64.tolist())
+    k, cnt = c.extract()
+    assert len(k) == len(ref)
+    got = dict(zip(k.tolist(), cnt.tolist()))
+    for key in list(ref)[:300]:
+        assert got[key] == ref[key]
+
+    # extract_sorted straight from 32-bit mode matches the 64-bit order
+    a = NativeCounter()
+    a.update(v32)
+    b = NativeCounter()
+    b.update(v32.astype(np.int64))
+    ka, ca = a.extract_sorted()
+    kb, cb = b.extract_sorted()
+    np.testing.assert_array_equal(ka, kb)
+    np.testing.assert_array_equal(ca, cb)
+
+    # merge-add promotes; pickling a 32-mode counter round-trips
+    m = NativeCounter()
+    m.update(v32[:100])
+    m.add(np.array([2**45], dtype=np.int64), np.array([3], dtype=np.int64))
+    assert 2**45 in set(m.extract()[0].tolist())
+    p = pickle.loads(pickle.dumps(a))
+    np.testing.assert_array_equal(p.extract_sorted()[0], ka)
