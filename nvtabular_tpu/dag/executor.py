@@ -910,6 +910,17 @@ class FitEngine:
 
     def __init__(self, executor: Optional[LocalExecutor] = None):
         self.executor = executor or LocalExecutor()
+        # stat-op INPUT chains (e.g. FillMissing->Clip->LogOp feeding the
+        # Normalize moments) evaluate through the fused host executor: one
+        # native pass per continuous column instead of an eager numpy op
+        # walk — same values bit-for-bit (test_host_fuse asserts it), and
+        # its chain cache is keyed per fit generation so phase N+1 scans
+        # see phase N's freshly fitted parameters
+        self._input_executor: LocalExecutor = self.executor
+        if os.environ.get("NVT_HOST_FUSE", "1") != "0":
+            from .host_fuse import FusedHostExecutor
+
+            self._input_executor = FusedHostExecutor()
         # per-fit phase breakdown (scan = streaming fit_batch over rows,
         # finalize = fixed per-key cost: sorts, table builds, artifacts).
         # The split matters because scan scales with ROWS while finalize
@@ -983,7 +994,7 @@ class FitEngine:
             for batch in dataset.to_batches(columns=columns, shard=shard):
                 memo: Dict[int, TableBatch] = {}
                 for n in nodes:
-                    input_batch = self.executor.compute_node_input(n, batch, memo)
+                    input_batch = self._input_executor.compute_node_input(n, batch, memo)
                     if id(n) in mesh_plans:
                         for cname in mesh_plans[id(n)]:
                             col = input_batch[cname].to_host()
