@@ -884,8 +884,14 @@ class Categorify(StatOperator):
         Routing is decided from ALLGATHERED metadata so every host issues
         the identical collective sequence regardless of local shard skew.
         """
+        import pyarrow as pa
+        import pyarrow.types as pat
+
         from ..parallel.multihost import allgather_pyobj
-        from ..parallel.sharded_vocab import exchange_partial_counts
+        from ..parallel.sharded_vocab import (
+            exchange_partial_counts,
+            exchange_partial_string_counts,
+        )
 
         threshold = int(os.environ.get("NVT_VOCAB_EXCHANGE_MIN", 65536))
 
@@ -906,8 +912,16 @@ class Categorify(StatOperator):
                 flavor = "empty"
                 uniq = 0
             else:
-                flavor = "other"
-                uniq = accum.rows
+                accum._reaggregate()
+                vtype = accum.partials[0].schema.field("value").type
+                if accum._counter is None and (
+                    pat.is_string(vtype) or pat.is_large_string(vtype)
+                ):
+                    flavor = "str"
+                    uniq = accum.partials[0].num_rows
+                else:
+                    flavor = "other"
+                    uniq = accum.rows
             local_meta[key] = (
                 flavor,
                 uniq,
@@ -919,31 +933,56 @@ class Categorify(StatOperator):
         all_meta = allgather_pyobj(local_meta)
         exchange_keys: List[str] = []
         gather_keys: List[str] = []
+        str_exchange_keys: List[str] = []
         for key in sorted(state):
             flavors = {m[key][0] for m in all_meta}
             total_uniq = max(m[key][1] for m in all_meta)
             if flavors <= {"native", "empty"} and total_uniq >= threshold:
                 exchange_keys.append(key)
+            elif flavors <= {"str", "empty"} and total_uniq >= threshold:
+                # string vocabularies ride the byte-lane all-to-all
+                # (exchange_partial_string_counts): O(vocab-bytes) per host
+                str_exchange_keys.append(key)
             else:
                 gather_keys.append(key)
                 if total_uniq >= threshold:
-                    # a LARGE non-int (string) vocab can only take the
-                    # whole-accumulator allgather today: each host receives
-                    # O(hosts x vocab-bytes). The int path escaped this via
-                    # the (key,count) all-to-all; strings would need a
-                    # byte-buffer exchange (documented limit — reference
-                    # shuffles string uniques through dask the same
-                    # hash-partitioned way, categorify.py:1036-1049)
+                    # only MIXED-flavor (or exotic-dtype) large vocabs still
+                    # take the whole-accumulator allgather
                     LOG.warning(
-                        "Categorify.fit: vocab %r (%d uniques, non-int keys) "
-                        "reduces via whole-accumulator allgather — "
-                        "O(hosts x bytes) per host. Large string vocabs are "
-                        "a known multi-host scaling limit.",
+                        "Categorify.fit: vocab %r (%d uniques, mixed/exotic "
+                        "key flavors %s) reduces via whole-accumulator "
+                        "allgather — O(hosts x bytes) per host.",
                         key,
                         total_uniq,
+                        sorted(flavors),
                     )
 
         out: Dict[str, _VocabAccum] = {}
+        for key in str_exchange_keys:
+            accum = state[key]
+            if accum.partials:
+                tbl = accum.partials[0]
+                vals = tbl.column("value").to_numpy(zero_copy_only=False)
+                cnts = tbl.column("count").to_numpy(zero_copy_only=False)
+            else:  # this shard saw no data for the column
+                vals = np.empty(0, dtype=object)
+                cnts = np.empty(0, dtype=np.int64)
+            owned_v, owned_c = exchange_partial_string_counts(vals, cnts)
+            shards = allgather_pyobj((owned_v, owned_c))
+            full_v = np.concatenate([np.asarray(s[0], dtype=object) for s in shards])
+            full_c = np.concatenate([np.asarray(s[1], dtype=np.int64) for s in shards])
+            merged = _VocabAccum()
+            merged.rows = sum(m[key][3] for m in all_meta)
+            merged.null_count = sum(m[key][4] for m in all_meta)
+            merged.partials = [
+                pa.table(
+                    {
+                        "value": pa.array(full_v.tolist(), type=pa.string()),
+                        "count": pa.array(full_c, type=pa.int64()),
+                    }
+                )
+            ]
+            out[key] = merged
         for key in exchange_keys:
             k, c = extracted[key]
             owned_k, owned_c = exchange_partial_counts(k, c)
@@ -973,7 +1012,11 @@ class Categorify(StatOperator):
             sub = {key: state[key] for key in gather_keys}
             merged_sub = self.fit_merge(allgather_pyobj(sub))
             out.update(merged_sub)
-        self.last_fit_reduce = {"exchange": exchange_keys, "gather": gather_keys}
+        self.last_fit_reduce = {
+            "exchange": exchange_keys,
+            "str_exchange": str_exchange_keys,
+            "gather": gather_keys,
+        }
         return out
 
     def fit_finalize(self, state):

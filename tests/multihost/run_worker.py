@@ -104,6 +104,26 @@ def main():
                 "jg_reduce": getattr(jg_op, "last_fit_reduce", None),
             }
         )
+    elif case == "strvocab":
+        # large STRING vocabulary: must reduce through the byte-lane
+        # all-to-all (exchange_partial_string_counts), not the
+        # whole-accumulator pickle allgather
+        cat_op = ops.Categorify()
+        wf = nvt.Workflow(["s"] >> cat_op)
+        wf.fit(dataset)
+        vocab = cat_op.vocabs["s"]
+        values = np.asarray(vocab.values_by_code)
+        blob = "\x00".join(str(v) for v in values).encode()
+        counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
+        result.update(
+            {
+                "n_vocab": int(len(values)),
+                "values_sha": hashlib.sha256(blob).hexdigest(),
+                "counts_sha": hashlib.sha256(counts.tobytes()).hexdigest(),
+                "head_values": values[:10].tolist(),
+                "reduce_paths": getattr(cat_op, "last_fit_reduce", None),
+            }
+        )
     else:
         raise SystemExit(f"unknown case {case!r}")
 

@@ -82,7 +82,7 @@ def test_two_process_fit_matches_single(tmp_path):
     np.testing.assert_allclose(norm_op.means["x"], results[0]["mean"], rtol=1e-12)
     np.testing.assert_allclose(norm_op.stds["x"], results[0]["std"], rtol=1e-12)
     # a 150-key vocab stays on the allgather path, not the exchange
-    assert results[0]["reduce_paths"] == {"exchange": [], "gather": ["c"]}
+    assert results[0]["reduce_paths"] == {"exchange": [], "str_exchange": [], "gather": ["c"]}
 
 
 def _run_workers(tmp_path, data_dir, case, timeout=600, nprocs=2):
@@ -138,7 +138,7 @@ def test_two_process_bigvocab_exchange_matches_single(tmp_path):
     results = _run_workers(tmp_path, data_dir, "bigvocab")
     assert results[0]["values_sha"] == results[1]["values_sha"]
     assert results[0]["counts_sha"] == results[1]["counts_sha"]
-    assert results[0]["reduce_paths"] == {"exchange": ["c"], "gather": []}
+    assert results[0]["reduce_paths"] == {"exchange": ["c"], "str_exchange": [], "gather": []}
 
     cat_op = ops.Categorify()
     wf = nvt.Workflow(["c"] >> cat_op)
@@ -172,7 +172,7 @@ def test_four_process_exchange_matches_single(tmp_path):
     for r in results[1:]:
         assert r["values_sha"] == results[0]["values_sha"]
         assert r["counts_sha"] == results[0]["counts_sha"]
-    assert results[0]["reduce_paths"] == {"exchange": ["c"], "gather": []}
+    assert results[0]["reduce_paths"] == {"exchange": ["c"], "str_exchange": [], "gather": []}
 
     cat_op = ops.Categorify()
     wf = nvt.Workflow(["c"] >> cat_op)
@@ -238,3 +238,48 @@ def test_two_process_te_groupby_exchange_matches_single(tmp_path):
     assert int(jk.num_groups) == results[0]["jg_groups"]
     assert sha(np.asarray(jk.stats["y.sum"])) == results[0]["jg_sum_sha"]
     assert sha(np.asarray(jk.stats["y.mean"])) == results[0]["jg_mean_sha"]
+
+
+@pytest.mark.multichip
+def test_two_process_string_vocab_exchange_matches_single(tmp_path):
+    """>=100K-unique STRING vocabulary across two real processes: must
+    reduce through the byte-lane all-to-all
+    (parallel/sharded_vocab.exchange_partial_string_counts) — O(vocab
+    bytes) per host instead of the whole-accumulator pickle allgather —
+    and match the single-process fit exactly. Analog of the reference's
+    hash-partitioned shuffle of string uniques
+    (nvtabular/ops/categorify.py:1036-1049)."""
+    import hashlib
+
+    rng = np.random.default_rng(23)
+    n = 400_000
+    # skewed head + uniform tail: >100K distinct ids with varied counts
+    ids = np.concatenate(
+        [
+            (rng.zipf(1.3, n // 2) % 180_000).astype(np.int64),
+            rng.integers(0, 250_000, n - n // 2),
+        ]
+    )
+    strs = np.array([f"user_{i:07d}" for i in ids], dtype=object)
+    df = pd.DataFrame({"s": strs})
+    assert len(np.unique(ids)) > 100_000
+    data_dir = str(tmp_path / "strdata")
+    nvt.Dataset(df, part_size=4 * 1024 * 1024).to_parquet(data_dir, output_files=6)
+
+    results = _run_workers(tmp_path, data_dir, "strvocab")
+    assert all(
+        results[0][k] == results[1][k] for k in results[0] if k != "process"
+    )
+    assert results[0]["reduce_paths"]["str_exchange"] == ["s"]
+    assert results[0]["reduce_paths"]["gather"] == []
+
+    cat_op = ops.Categorify()
+    wf = nvt.Workflow(["s"] >> cat_op)
+    wf.fit(nvt.Dataset(data_dir))
+    vocab = cat_op.vocabs["s"]
+    values = np.asarray(vocab.values_by_code)
+    blob = "\x00".join(str(v) for v in values).encode()
+    counts = np.ascontiguousarray(np.asarray(vocab.counts, dtype=np.int64))
+    assert int(len(values)) == results[0]["n_vocab"]
+    assert hashlib.sha256(blob).hexdigest() == results[0]["values_sha"]
+    assert hashlib.sha256(counts.tobytes()).hexdigest() == results[0]["counts_sha"]
