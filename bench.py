@@ -312,16 +312,13 @@ def main():
     print("bench: write phase (1 epoch)...", file=sys.stderr, flush=True)
     write_seconds, write_bytes = run_write_phase(None, 1)
     write_rows_per_sec = rows_per_pass / write_seconds
-    print(
-        f"bench: e2e stream ({stream_epochs} epochs to disk)...",
-        file=sys.stderr,
-        flush=True,
-    )
-    e2e_seconds, e2e_bytes = run_write_phase(None, stream_epochs)
     e2e_rows = rows_per_pass * stream_epochs
-    # RAM-backed variant isolates the framework from this VM's ~70 MB/s
-    # disk (the reference baseline ran against DGX-class NVMe): same code
-    # path, output directed at tmpfs. Clearly labeled in the artifact.
+    # RAM-backed variant isolates the framework from the VM's disk (the
+    # reference baseline ran against DGX-class NVMe): same code path,
+    # output directed at tmpfs. Clearly labeled in the artifact. Runs
+    # BEFORE the disk epochs: it is the CPU-bound measurement and the
+    # most sensitive to the huge-page-pool depletion a long-lived
+    # process accumulates.
     shm_detail = {}
     if os.path.isdir("/dev/shm"):
         print("bench: e2e stream (tmpfs)...", file=sys.stderr, flush=True)
@@ -333,6 +330,12 @@ def main():
             "tmpfs_write_mb_per_sec": round(shm_bytes / shm_seconds / 1e6, 1),
             "tmpfs_note": "ram-backed output: same code path, disk removed as variable",
         }
+    print(
+        f"bench: e2e stream ({stream_epochs} epochs to disk)...",
+        file=sys.stderr,
+        flush=True,
+    )
+    e2e_seconds, e2e_bytes = run_write_phase(None, stream_epochs)
 
     fit_stats = dict(getattr(workflow, "_fit_engine").last_fit_stats)
     scan_rows_per_sec = (

@@ -1101,12 +1101,17 @@ class Categorify(StatOperator):
             tbl = pa.table({key: arr, f"{key}_size": counts})
             # vocab values are unique by construction: dictionary encoding
             # is pure overhead (measured ~10x slower at multi-M keys);
-            # zstd because artifact writes are disk-bound like io/writer.py
+            # zstd because artifact writes are disk-bound like io/writer.py;
+            # DELTA/BYTE_STREAM_SPLIT pre-transforms for the same 2.8x
+            # encode-rate win the output writer measured
+            from ..io.writer import _column_encodings
+
             pq.write_table(
                 tbl,
                 path,
                 use_dictionary=False,
                 compression=os.environ.get("NVT_PARQUET_COMPRESSION", "zstd"),
+                column_encoding=_column_encodings(tbl.schema),
             )
             return key, path
 
