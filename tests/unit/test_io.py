@@ -300,3 +300,34 @@ def test_shuffled_write_list_columns_fallback(tmp_path):
     # each list row must travel intact with its scalar: row s has lst [3s,3s+1,3s+2]
     for s, lst in zip(back["scalar"].to_numpy(), back["lst"].to_list()):
         np.testing.assert_array_equal(np.asarray(lst), np.arange(3 * s, 3 * s + 3))
+
+
+def test_writer_extreme_values_round_trip(tmp_path):
+    """DELTA_BINARY_PACKED / BYTE_STREAM_SPLIT encodings must round-trip
+    dtype extremes exactly (int64/int32 min/max, inf/nan floats)."""
+    tb = __import__("nvtabular_tpu").table
+    i64 = np.array(
+        [np.iinfo(np.int64).min, -1, 0, 1, np.iinfo(np.int64).max], dtype=np.int64
+    )
+    i32 = np.array(
+        [np.iinfo(np.int32).min, -1, 0, 1, np.iinfo(np.int32).max], dtype=np.int32
+    )
+    f32 = np.array([-np.inf, -0.0, np.nan, 1.5e38, np.inf], dtype=np.float32)
+    b = tb.TableBatch()
+    b["i64"] = tb.Column(i64)
+    b["i32"] = tb.Column(i32)
+    b["f32"] = tb.Column(f32)
+    ds = nvt.Dataset(b)
+    out_dir = str(tmp_path / "extremes")
+    ds.to_parquet(out_dir, output_files=1)
+    back = nvt.Dataset(out_dir).to_table()
+    np.testing.assert_array_equal(np.asarray(back["i64"].values), i64)
+    np.testing.assert_array_equal(np.asarray(back["i32"].values), i32)
+    # NaN floats round-trip as NULLS (arrow/reference convention)
+    col = back["f32"]
+    got = np.asarray(col.values)
+    nulls = (
+        ~np.asarray(col.validity) if col.validity is not None else np.isnan(got)
+    )
+    np.testing.assert_array_equal(nulls, np.isnan(f32))
+    np.testing.assert_array_equal(got[~nulls], f32[~np.isnan(f32)])
