@@ -322,3 +322,51 @@ def test_mesh_fit_multihot_and_nulls(mesh):
         np.asarray(got["mh"].values)[: int(offsets[-1])],
         np.asarray(expected["mh"].values)[: int(offsets[-1])],
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mesh_ragged_fuzz_shapes(mesh, seed):
+    """Random ragged batches — odd row counts, empty lists, rows fewer
+    than one shard's bucket, nullable scalars — must shard and match the
+    host path exactly."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.choice([1500, 4097, 9000, 20011]))
+    lens = rng.integers(0, 6, n)
+    lens[rng.random(n) < 0.3] = 0  # plenty of empty lists
+    values = rng.integers(0, 40, int(lens.sum())).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    from nvtabular_tpu.table import Column, TableBatch
+
+    def make():
+        b = TableBatch()
+        b["mh"] = Column(values.copy(), offsets.copy())
+        b["c"] = Column(
+            rng.integers(0, 300, n).astype(np.int64), None, rng.random(n) > 0.05
+        )
+        b["x"] = Column(rng.normal(size=n).astype(np.float32))
+        return b
+
+    batch = make()
+
+    def graph():
+        return (["mh", "c"] >> ops.Categorify()) + (["x"] >> ops.Normalize())
+
+    expected = nvt.Workflow(graph()).fit_transform(nvt.Dataset(batch)).to_table()
+    got = (
+        nvt.Workflow(graph(), executor=JitExecutor(jit_min_rows=256, mesh=mesh))
+        .fit_transform(nvt.Dataset(batch))
+        .to_table()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["c"].values), np.asarray(expected["c"].values)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["x"].values), np.asarray(expected["x"].values), rtol=1e-5
+    )
+    eo, go = np.asarray(expected["mh"].offsets), np.asarray(got["mh"].offsets)
+    np.testing.assert_array_equal(eo[1:] - eo[:-1], go[1:] - go[:-1])
+    np.testing.assert_array_equal(
+        np.asarray(got["mh"].values)[go[0] : go[-1]],
+        np.asarray(expected["mh"].values)[eo[0] : eo[-1]],
+    )
