@@ -134,12 +134,13 @@ class _FileWorker:
             # use_dictionary=False: high-cardinality int codes make arrow's
             # dictionary encoding ~10x slower AND larger (measured 0.24 vs
             # 2.3 M rows/s on 26 int32 code columns)
+            compression, level = _resolve_compression(self.compression, table.schema)
             self.writer = pq.ParquetWriter(
                 self.path,
                 table.schema,
                 use_dictionary=False,
-                compression=self.compression,
-                compression_level=_compression_level(self.compression),
+                compression=compression,
+                compression_level=level,
                 column_encoding=_column_encodings(table.schema),
             )
         self.writer.write_table(table, row_group_size=self.row_group_size)
@@ -184,6 +185,34 @@ def _compression_level(compression):
     return None
 
 
+def _resolve_compression(compression, schema):
+    """Map the writer's codec setting to pyarrow (compression, level).
+
+    ``auto`` (the default) picks per column: integer columns ship
+    DELTA_BINARY_PACKED **uncompressed** — zstd over the delta stream costs
+    ~15% single-thread encode rate for ~0.5 B/row (bench/write_codec_probe.py:
+    1.65 → 1.89M rows/s at 81.0 vs 81.5 B/row) — while float (BYTE_STREAM_SPLIT)
+    and string columns keep zstd level 1. Any explicit codec applies to every
+    column as before."""
+    if compression != "auto":
+        return compression, _compression_level(compression)
+    import pyarrow as pa
+
+    if os.environ.get("NVT_PARQUET_ENCODINGS", "1") == "0":
+        # no DELTA pass to lean on: plain ints still want the codec
+        return "zstd", _compression_level("zstd")
+    codec = {}
+    level = {}
+    zstd_level = int(os.environ.get("NVT_PARQUET_ZSTD_LEVEL", 1))
+    for field in schema:
+        if pa.types.is_integer(field.type):
+            codec[field.name] = "NONE"
+        else:
+            codec[field.name] = "ZSTD"
+            level[field.name] = zstd_level
+    return codec, (level or None)
+
+
 class ParquetWriter:
     """Append-mode writer over a fixed set of output files, one worker
     thread per file (arrow's parquet encode and the native row gather both
@@ -204,11 +233,12 @@ class ParquetWriter:
         self.output_path = output_path
         self.num_files = max(1, num_files)
         self.row_group_size = row_group_size
-        # zstd default: ~27% fewer bytes than snappy on encoded tabular
-        # output (measured on the Criteo-TB bench data: 168 raw / 124
-        # snappy / 91 zstd MB per 1M rows)
+        # "auto" default: per-column codecs (delta-packed ints uncompressed,
+        # floats/strings zstd-1 — see _resolve_compression); zstd beats
+        # snappy by ~27% bytes on this data (168 raw / 124 snappy / 91 zstd
+        # MB per 1M rows) and delta already does zstd's work on the ints
         if compression is None:
-            compression = os.environ.get("NVT_PARQUET_COMPRESSION", "zstd")
+            compression = os.environ.get("NVT_PARQUET_COMPRESSION", "auto")
         self.compression = None if compression in ("none", "") else compression
         self._paths = [
             os.path.join(output_path, f"part_{i}.parquet") for i in range(self.num_files)

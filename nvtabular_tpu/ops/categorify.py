@@ -1104,13 +1104,17 @@ class Categorify(StatOperator):
             # zstd because artifact writes are disk-bound like io/writer.py;
             # DELTA/BYTE_STREAM_SPLIT pre-transforms for the same 2.8x
             # encode-rate win the output writer measured
-            from ..io.writer import _column_encodings
+            from ..io.writer import _column_encodings, _resolve_compression
 
+            codec, level = _resolve_compression(
+                os.environ.get("NVT_PARQUET_COMPRESSION", "auto"), tbl.schema
+            )
             pq.write_table(
                 tbl,
                 path,
                 use_dictionary=False,
-                compression=os.environ.get("NVT_PARQUET_COMPRESSION", "zstd"),
+                compression=codec,
+                compression_level=level,
                 column_encoding=_column_encodings(tbl.schema),
             )
             return key, path
