@@ -588,7 +588,129 @@ static void gather_scatter_rows(const T* src, const int64_t* idx, T* out,
   for (; i < n; ++i) out[pos[i]] = src[idx[i]];
 }
 
+// Multi-source gather: out[i] = srcs[g[i] >> 48][g[i] & kGatherRowMask] —
+// the INVERSE formulation of the shuffled-writer flush. A random scatter
+// pays read-for-ownership + writeback on every touched cache line (~2x the
+// traffic of a read miss); gathering instead makes the random access a READ
+// and the write sequential. The writer builds the packed piece/row index g
+// once per flush window (one int64 scatter) and then gathers every column
+// through it.
+static constexpr int64_t kGatherRowMask = (int64_t(1) << 48) - 1;
+
+template <typename T>
+static void gather_multi_rows(const T* const* srcs, const int64_t* g, T* out,
+                              int64_t n) {
+  // software-pipelined: prefetch block i+1 while emitting block i, so the
+  // random-read misses of the NEXT block overlap the stores of this one
+  // (a same-block prefetch-then-use loop gives each load only ~kBlock
+  // iterations of lead — not enough to hide a DRAM miss)
+  constexpr int64_t kBlock = 32;
+  int64_t i = 0;
+  if (n >= 2 * kBlock) {
+    for (int64_t j = 0; j < kBlock; ++j) {
+      const int64_t e = g[j];
+      __builtin_prefetch(srcs[e >> 48] + (e & kGatherRowMask), 0, 0);
+    }
+    for (; i + 2 * kBlock <= n; i += kBlock) {
+      for (int64_t j = 0; j < kBlock; ++j) {
+        const int64_t e = g[i + kBlock + j];
+        __builtin_prefetch(srcs[e >> 48] + (e & kGatherRowMask), 0, 0);
+      }
+      for (int64_t j = 0; j < kBlock; ++j) {
+        const int64_t e = g[i + j];
+        out[i + j] = srcs[e >> 48][e & kGatherRowMask];
+      }
+    }
+  }
+  for (; i < n; ++i) {
+    const int64_t e = g[i];
+    out[i] = srcs[e >> 48][e & kGatherRowMask];
+  }
+}
+
+// Two-pass bucketed permutation. Applying a random permutation in one pass
+// is a DRAM-latency-bound random access per element (~60-70M elem/s
+// measured, line-fill-buffer limited, prefetch-insensitive). Split it:
+//   prep  (once per flush window): counting-sort source elements by
+//         destination BUCKET (dest >> shift) → dest_slot[i] (the element's
+//         slot in bucket-grouped scratch) and dpos[slot] (its final dest).
+//   apply (per column): pass A reads sources in sequential order and
+//         appends to ~n/2^shift bucket cursors (each cursor streams);
+//         pass B walks scratch sequentially and scatters within one
+//         bucket's dest range at a time (L1/L2-resident).
+// Every access is streaming or cache-local.
+static void permute_prep(const int64_t* pos, int64_t n, int32_t shift,
+                         int32_t* dest_slot, int64_t* dpos) {
+  const int64_t nb = ((n - 1) >> shift) + 1;
+  std::vector<int64_t> cur(static_cast<size_t>(nb) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) cur[(pos[i] >> shift) + 1]++;
+  for (int64_t b = 0; b < nb; ++b) cur[b + 1] += cur[b];
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = cur[pos[i] >> shift]++;
+    dest_slot[i] = static_cast<int32_t>(s);
+    dpos[s] = pos[i];
+  }
+}
+
+template <typename T>
+static void permute_apply(const T* const* srcs, const int64_t* gsrc,
+                          const int32_t* dest_slot, const int64_t* dpos,
+                          T* scratch, T* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t e = gsrc[i];
+    scratch[dest_slot[i]] = srcs[e >> 48][e & kGatherRowMask];
+  }
+  for (int64_t s = 0; s < n; ++s) out[dpos[s]] = scratch[s];
+}
+
 extern "C" {
+
+void nvt_permute_prep(const int64_t* pos, int64_t n, int32_t shift,
+                      int32_t* dest_slot, int64_t* dpos) {
+  permute_prep(pos, n, shift, dest_slot, dpos);
+}
+
+void nvt_permute_apply4(const void* const* srcs, const int64_t* gsrc,
+                        const int32_t* dest_slot, const int64_t* dpos,
+                        void* scratch, void* out, int64_t n) {
+  permute_apply<int32_t>(reinterpret_cast<const int32_t* const*>(srcs), gsrc,
+                         dest_slot, dpos, static_cast<int32_t*>(scratch),
+                         static_cast<int32_t*>(out), n);
+}
+
+void nvt_permute_apply8(const void* const* srcs, const int64_t* gsrc,
+                        const int32_t* dest_slot, const int64_t* dpos,
+                        void* scratch, void* out, int64_t n) {
+  permute_apply<int64_t>(reinterpret_cast<const int64_t* const*>(srcs), gsrc,
+                         dest_slot, dpos, static_cast<int64_t*>(scratch),
+                         static_cast<int64_t*>(out), n);
+}
+
+void nvt_permute_apply1(const void* const* srcs, const int64_t* gsrc,
+                        const int32_t* dest_slot, const int64_t* dpos,
+                        void* scratch, void* out, int64_t n) {
+  permute_apply<uint8_t>(reinterpret_cast<const uint8_t* const*>(srcs), gsrc,
+                         dest_slot, dpos, static_cast<uint8_t*>(scratch),
+                         static_cast<uint8_t*>(out), n);
+}
+
+void nvt_gather_multi4(const void* const* srcs, const int64_t* g, void* out,
+                       int64_t n) {
+  gather_multi_rows<int32_t>(reinterpret_cast<const int32_t* const*>(srcs), g,
+                             static_cast<int32_t*>(out), n);
+}
+
+void nvt_gather_multi8(const void* const* srcs, const int64_t* g, void* out,
+                       int64_t n) {
+  gather_multi_rows<int64_t>(reinterpret_cast<const int64_t* const*>(srcs), g,
+                             static_cast<int64_t*>(out), n);
+}
+
+void nvt_gather_multi1(const void* const* srcs, const int64_t* g, void* out,
+                       int64_t n) {
+  gather_multi_rows<uint8_t>(reinterpret_cast<const uint8_t* const*>(srcs), g,
+                             static_cast<uint8_t*>(out), n);
+}
 
 void nvt_gather_scatter4(const void* src, const int64_t* idx, void* out,
                          const int64_t* pos, int64_t n) {

@@ -160,6 +160,22 @@ def _configure(lib: ctypes.CDLL) -> None:
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = [vp, i64p, vp, i64p, ctypes.c_int64]
+    for name in ("nvt_gather_multi1", "nvt_gather_multi4", "nvt_gather_multi8"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.POINTER(ctypes.c_void_p), i64p, vp, ctypes.c_int64]
+    lib.nvt_permute_prep.restype = None
+    lib.nvt_permute_prep.argtypes = [
+        i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), i64p,
+    ]
+    for name in ("nvt_permute_apply1", "nvt_permute_apply4", "nvt_permute_apply8"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), i64p,
+            ctypes.POINTER(ctypes.c_int32), i64p, vp, vp, ctypes.c_int64,
+        ]
 
 
 def native_available() -> bool:
@@ -584,6 +600,137 @@ def gather_scatter(
         out.ctypes.data_as(ct.c_void_p),
         pos.ctypes.data_as(ct.POINTER(ct.c_int64)),
         len(idx),
+    )
+    return True
+
+
+_GATHER_MULTI_BY_ITEMSIZE = {
+    1: "nvt_gather_multi1",
+    4: "nvt_gather_multi4",
+    8: "nvt_gather_multi8",
+}
+
+_PERMUTE_APPLY_BY_ITEMSIZE = {
+    1: "nvt_permute_apply1",
+    4: "nvt_permute_apply4",
+    8: "nvt_permute_apply8",
+}
+
+# bucket dest range = 2^shift rows; 16K rows × 8B = 128KB stays L2-resident
+_PERMUTE_BUCKET_SHIFT = 14
+
+
+class PermutePlan:
+    """Shared two-pass permutation plan for one shuffle window: built once
+    from the destination positions (in source order), applied to every
+    column. ``apply`` runs the bucketed two-pass permute — all memory access
+    streaming or cache-local — at ~5-10x the one-pass random gather/scatter
+    rate. Returns None from ``build`` when the native library is missing."""
+
+    __slots__ = ("n", "dest_slot", "dpos", "lib", "_scratch")
+
+    @classmethod
+    def build(cls, positions: "np.ndarray"):
+        import ctypes as ct
+
+        try:
+            lib = _build_and_load()
+        except RuntimeError:
+            return None
+        self = cls()
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        n = len(pos)
+        self.n = n
+        self.lib = lib
+        self.dest_slot = np.empty(n, dtype=np.int32)
+        self.dpos = np.empty(n, dtype=np.int64)
+        self._scratch = {}
+        if n:
+            lib.nvt_permute_prep(
+                pos.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                n,
+                _PERMUTE_BUCKET_SHIFT,
+                self.dest_slot.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                self.dpos.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            )
+        return self
+
+    def apply(self, sources, packed_src: "np.ndarray", out: "np.ndarray") -> bool:
+        """out[dpos] = sources[packed_src >> 48][packed_src & mask], where
+        packed_src is in SOURCE order (parallel to the positions the plan
+        was built from). Falls back (returns False) on unsupported dtypes."""
+        import ctypes as ct
+
+        dt = out.dtype
+        name = _PERMUTE_APPLY_BY_ITEMSIZE.get(dt.itemsize)
+        if (
+            name is None
+            or dt.kind not in "iufb"
+            or out.ndim != 1
+            or not out.flags["C_CONTIGUOUS"]
+        ):
+            return False
+        for s in sources:
+            if s.dtype != dt or s.ndim != 1 or not s.flags["C_CONTIGUOUS"]:
+                return False
+        if self.n == 0:
+            return True
+        scratch = self._scratch.get(dt.itemsize)
+        if scratch is None or len(scratch) < self.n * dt.itemsize:
+            scratch = np.empty(self.n * dt.itemsize, dtype=np.uint8)
+            self._scratch[dt.itemsize] = scratch
+        g = np.ascontiguousarray(packed_src, dtype=np.int64)
+        ptrs = (ct.c_void_p * len(sources))(
+            *(s.ctypes.data_as(ct.c_void_p).value for s in sources)
+        )
+        getattr(self.lib, name)(
+            ptrs,
+            g.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            self.dest_slot.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            self.dpos.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            scratch.ctypes.data_as(ct.c_void_p),
+            out.ctypes.data_as(ct.c_void_p),
+            self.n,
+        )
+        return True
+
+GATHER_MULTI_ROW_BITS = 48  # g[i] = (piece << 48) | row
+
+
+def gather_multi(sources, packed_idx: "np.ndarray", out: "np.ndarray") -> bool:
+    """GIL-releasing multi-source gather: out[i] = sources[p][r] where
+    p = packed_idx[i] >> 48 and r = packed_idx[i] & (2**48 - 1). The inverse
+    formulation of ``gather_scatter`` — random READS instead of random
+    writes — used by the shuffled parquet writer's flush. Returns False when
+    unsupported (caller falls back to numpy)."""
+    import ctypes as ct
+
+    if not sources or out.ndim != 1:
+        return False
+    dt = out.dtype
+    if dt.kind not in "iufb":
+        return False
+    name = _GATHER_MULTI_BY_ITEMSIZE.get(dt.itemsize)
+    if name is None:
+        return False
+    for s in sources:
+        if s.dtype != dt or s.ndim != 1 or not s.flags["C_CONTIGUOUS"]:
+            return False
+    if not out.flags["C_CONTIGUOUS"]:
+        return False
+    try:
+        lib = _build_and_load()
+    except RuntimeError:
+        return False
+    g = np.ascontiguousarray(packed_idx, dtype=np.int64)
+    ptrs = (ct.c_void_p * len(sources))(
+        *(s.ctypes.data_as(ct.c_void_p).value for s in sources)
+    )
+    getattr(lib, name)(
+        ptrs,
+        g.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out.ctypes.data_as(ct.c_void_p),
+        len(g),
     )
     return True
 

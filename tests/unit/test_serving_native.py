@@ -124,6 +124,48 @@ def test_gather_scatter_rejects_unsupported():
     )
 
 
+def test_gather_multi_and_permute_plan_match_numpy():
+    """Multi-source gather and the two-pass bucketed PermutePlan (the
+    shuffled writer's flush kernels) against the numpy reference."""
+    from nvtabular_tpu.serving.native import PermutePlan, gather_multi, native_available
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    npieces, rows = 3, 1000
+    total = npieces * rows
+    idxs = [rng.permutation(rows).astype(np.int64) for _ in range(npieces)]
+    perm = rng.permutation(total).astype(np.int64)
+    bounds = np.arange(npieces + 1) * rows
+    gsrc = np.concatenate(
+        [(np.int64(k) << np.int64(48)) | idxs[k] for k in range(npieces)]
+    )
+    g_inv = np.empty(total, dtype=np.int64)
+    for k in range(npieces):
+        g_inv[perm[bounds[k] : bounds[k + 1]]] = gsrc[bounds[k] : bounds[k + 1]]
+    plan = PermutePlan.build(perm)
+    assert plan is not None
+    for dtype in (np.int32, np.int64, np.float32, np.float64, np.bool_):
+        srcs = [(rng.integers(0, 100, rows)).astype(dtype) for _ in range(npieces)]
+        expect = np.empty(total, dtype=dtype)
+        for k in range(npieces):
+            expect[perm[bounds[k] : bounds[k + 1]]] = srcs[k][idxs[k]]
+        out = np.empty(total, dtype=dtype)
+        assert gather_multi(srcs, g_inv, out)
+        np.testing.assert_array_equal(out, expect)
+        out2 = np.empty(total, dtype=dtype)
+        assert plan.apply(srcs, gsrc, out2)
+        np.testing.assert_array_equal(out2, expect)
+    # unsupported dtype falls back
+    obj = [np.array(["a"] * rows, dtype=object) for _ in range(npieces)]
+    assert not gather_multi(obj, g_inv, np.empty(total, dtype=object))
+    assert not plan.apply(obj, gsrc, np.empty(total, dtype=object))
+    # empty window
+    empty_plan = PermutePlan.build(np.empty(0, dtype=np.int64))
+    assert empty_plan is not None
+    assert empty_plan.apply([np.empty(0, np.int32)], np.empty(0, np.int64), np.empty(0, np.int32))
+
+
 def test_counter_extract_sorted_and_reserve():
     """Reworked fit counter: count-field emptiness (INT64_MIN is an
     ordinary key), C++ (-count, key) sort, reserve pre-sizing."""
