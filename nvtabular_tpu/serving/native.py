@@ -51,6 +51,7 @@ def _build_and_load() -> ctypes.CDLL:
                 "-fno-trapping-math",
                 "-fno-math-errno",
                 "-std=c++17",
+                "-pthread",  # HugeArray background populate threads
             ]
             tag = hashlib.sha256(src + " ".join(flags).encode()).hexdigest()[:16]
             cache_dir = os.environ.get(
