@@ -126,7 +126,7 @@ def test_shuffle_spill_bounded_memory(tmp_path):
     import os
     import resource
 
-    n = 2_000_000  # ~32 MB of int64+float64 data in ~40 partitions
+    n = 8_000_000  # ~128 MB of int64+float64 data in many partitions
     rng = np.random.default_rng(1)
     big = pd.DataFrame(
         {"k": rng.integers(0, 1000, n).astype(np.int64),
@@ -141,10 +141,13 @@ def test_shuffle_spill_bounded_memory(tmp_path):
         ["k"], npartitions=16, memory_limit=1, spill_dir=str(tmp_path / "sp")
     )
     after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    # ru_maxrss is KB on linux; arrow pools keep ~8 MB of slack, so bound
-    # growth at half the 32 MB dataset — a full materialization would blow
-    # well past this
-    assert (after - before) * 1024 < 16 * 1024 * 1024, (before, after)
+    # ru_maxrss is KB on linux. The shuffle's working set (one partition +
+    # arrow pools + per-bucket writer state) measures ~18-20 MB regardless
+    # of dataset size; a full materialization would need 128 MB+. The
+    # native parquet writer made the to_parquet warm-up phase ~200 MB
+    # leaner, so `before` no longer hides the shuffle under arrow's
+    # high-water mark — the bound is an absolute growth cap.
+    assert (after - before) * 1024 < 32 * 1024 * 1024, (before, after)
     assert shuffled.num_rows == n
 
 
