@@ -252,9 +252,60 @@ void byte_stream_split(std::vector<uint8_t>* out, const uint8_t* v, int64_t n) {
   }
 }
 
+// ------------------------------------------------------------- shuffle split
+// splitmix64 finalizer — shared with nvtabular_tpu/io/native_parquet.py's
+// numpy twin (hash_split); the two MUST stay bit-identical or a window whose
+// files mix native/arrow writers would drop or duplicate rows.
+inline uint64_t mix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Build this file's destination-order gather index for a shuffle window of
+// WHOLE pieces (the streamed PER_WORKER/PER_PARTITION write path): row r of
+// piece p belongs to file mix64(piece_seeds[p] ^ r) % nfiles — every file
+// worker evaluates the same predicate, so the split is disjoint and
+// exhaustive with no cross-thread coordination — and the selected rows are
+// Fisher-Yates shuffled in place with shuffle_seed. Replaces the producer's
+// numpy permutation + the worker's perm/scatter (all GIL-held) with one
+// GIL-free call. Returns the selected row count; gidx must have capacity
+// sum(piece_rows).
+long long nvtpq_build_window_index(const long long* piece_rows,
+                                   const unsigned long long* piece_seeds,
+                                   int npieces, int nfiles, int file_k,
+                                   unsigned long long shuffle_seed,
+                                   long long* gidx) {
+  long long cnt = 0;
+  for (int p = 0; p < npieces; p++) {
+    const uint64_t seed = piece_seeds[p];
+    const int64_t n = piece_rows[p];
+    const int64_t base = static_cast<int64_t>(p) << 48;
+    if (nfiles <= 1) {
+      for (int64_t r = 0; r < n; r++) gidx[cnt++] = base | r;
+    } else {
+      for (int64_t r = 0; r < n; r++) {
+        if (mix64(seed ^ static_cast<uint64_t>(r)) % static_cast<uint64_t>(nfiles) ==
+            static_cast<uint64_t>(file_k))
+          gidx[cnt++] = base | r;
+      }
+    }
+  }
+  uint64_t s = shuffle_seed;
+  for (long long i = cnt - 1; i > 0; i--) {
+    s = mix64(s);
+    const long long j = static_cast<long long>(s % static_cast<uint64_t>(i + 1));
+    const int64_t tmp = gidx[i];
+    gidx[i] = gidx[j];
+    gidx[j] = tmp;
+  }
+  return cnt;
+}
 
 void* nvtpq_open(const char* path) {
   FILE* f = std::fopen(path, "wb");

@@ -97,6 +97,16 @@ def _build_and_load() -> ctypes.CDLL:
         lib.nvtpq_write_column.restype = ctypes.c_int
         lib.nvtpq_tell.argtypes = [ctypes.c_void_p]
         lib.nvtpq_tell.restype = ctypes.c_longlong
+        lib.nvtpq_build_window_index.argtypes = [
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_ulonglong),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_ulonglong,
+            ctypes.c_void_p,  # gidx out (int64*)
+        ]
+        lib.nvtpq_build_window_index.restype = ctypes.c_longlong
         lib.nvtpq_close.argtypes = [ctypes.c_void_p]
         lib.nvtpq_close.restype = ctypes.c_int
         _LIB = lib
@@ -206,13 +216,22 @@ def default_column_plan(name: str, dtype: np.dtype) -> Tuple[int, int, int]:
     ints ship DELTA_BINARY_PACKED uncompressed (zstd over the delta stream
     costs ~15% encode rate for ~0.5 B/row — bench/write_codec_probe.py),
     floats BYTE_STREAM_SPLIT + zstd. NVT_PARQUET_ENCODINGS=0 selects
-    PLAIN + zstd everywhere (parity escape hatch, matches io/writer.py)."""
+    PLAIN + zstd everywhere (parity escape hatch, matches io/writer.py).
+
+    NVT_PARQUET_FLOAT_CODEC=none drops the float zstd pass — the single
+    largest CPU block of the write stream (measured 0.13 us-core/row to
+    save ~20 B/row; the e2e stream runs ~20% faster without it). Floats
+    then ship PLAIN, not BYTE_STREAM_SPLIT: with no codec downstream the
+    transpose buys nothing and costs a pass. Right when storage outruns
+    the cores (tmpfs/NVMe); the zstd default wins on slow disks."""
     level = int(os.environ.get("NVT_PARQUET_ZSTD_LEVEL", 1))
     if os.environ.get("NVT_PARQUET_ENCODINGS", "1") == "0":
         return ENC_PLAIN, CODEC_ZSTD, level
     kind = np.dtype(dtype).kind
     if kind in "iu":
         return ENC_DELTA, CODEC_UNCOMPRESSED, 0
+    if os.environ.get("NVT_PARQUET_FLOAT_CODEC", "zstd") == "none":
+        return ENC_PLAIN, CODEC_UNCOMPRESSED, 0
     return ENC_BYTE_STREAM_SPLIT, CODEC_ZSTD, level
 
 
@@ -352,6 +371,46 @@ class NativeParquetFile:
         t.binary(6, b"nvtabular_tpu")
         t.b.append(0)  # end FileMetaData struct
         return bytes(t.b)
+
+
+def build_window_index(
+    piece_rows: Sequence[int], piece_seeds: Sequence[int], nfiles: int,
+    file_k: int, shuffle_seed: int,
+) -> np.ndarray:
+    """This file's shuffled destination-order gather index for a window of
+    whole pieces, built GIL-free in C++ (cpp/nvt_parquet.cc
+    nvtpq_build_window_index). Entries pack (piece << 48) | row."""
+    lib = _build_and_load()
+    npieces = len(piece_rows)
+    rows = (ctypes.c_longlong * npieces)(*[int(r) for r in piece_rows])
+    seeds = (ctypes.c_ulonglong * npieces)(*[int(s) & (2**64 - 1) for s in piece_seeds])
+    gidx = np.empty(int(sum(piece_rows)), dtype=np.int64)
+    cnt = lib.nvtpq_build_window_index(
+        rows, seeds, npieces, int(nfiles), int(file_k),
+        int(shuffle_seed) & (2**64 - 1),
+        gidx.ctypes.data_as(ctypes.c_void_p),
+    )
+    return gidx[: int(cnt)]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """numpy twin of cpp/nvt_parquet.cc mix64 (splitmix64 finalizer) —
+    MUST stay bit-identical (test_native_parquet.py asserts it): a window
+    whose files straddle the native/arrow writers would otherwise drop or
+    duplicate rows."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def hash_split(seed: int, n: int, nfiles: int) -> np.ndarray:
+    """File assignment (0..nfiles-1) for each of n rows under the streamed
+    shuffle's hash split — the arrow fallback's equivalent of the C++
+    predicate in nvtpq_build_window_index."""
+    r = np.arange(n, dtype=np.uint64) ^ np.uint64(int(seed) & (2**64 - 1))
+    return (_mix64(r) % np.uint64(nfiles)).astype(np.int64)
 
 
 def pack_gather_index(piece_indices: Sequence[np.ndarray], perm: np.ndarray) -> np.ndarray:

@@ -88,11 +88,14 @@ def _window_native_ok(batches, compression, first_window: bool = False) -> bool:
 class _FileWorker:
     """Single-writer thread for one output parquet file."""
 
-    def __init__(self, path: str, compression, row_group_size, buffer_pieces: int, queue_depth: int, seed: int = 0):
+    def __init__(self, path: str, compression, row_group_size, buffer_pieces: int, queue_depth: int, seed: int = 0,
+                 file_k: int = 0, nfiles: int = 1):
         self.path = path
         self.compression = compression
         self.row_group_size = row_group_size
         self.buffer_pieces = max(1, buffer_pieces)
+        self.file_k = file_k
+        self.nfiles = nfiles
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self.writer = None
         self.native = None  # NativeParquetFile when the fast path engages
@@ -119,9 +122,9 @@ class _FileWorker:
                     if buf:
                         self._flush(buf)
                     return
-                batch, idx, shuffled = item
+                batch, idx, shuffled, seed = item
                 if shuffled:
-                    buf.append((batch, idx))
+                    buf.append((batch, idx, seed))
                     if len(buf) >= self.buffer_pieces:
                         self._flush(buf)
                         buf = []
@@ -185,8 +188,21 @@ class _FileWorker:
         C++ encoder applies the permutation inside the encode itself (no
         landing pass, no arrow). Arrow fallback: the two-pass bucketed
         permute (PermutePlan) then pyarrow encode — measured 2.3x the
-        one-pass random scatter it replaced (126 vs 56M elem/s 1-thread)."""
-        pieces = [(b, i if i is not None else np.arange(b.num_rows)) for b, i in buf]
+        one-pass random scatter it replaced (126 vs 56M elem/s 1-thread).
+
+        Two piece protocols arrive here (never mixed in one window):
+          * seeded (streamed PER_WORKER/PER_PARTITION): entries are
+            (batch, None, seed) — this file's rows are the hash split
+            mix64(seed ^ row) % nfiles == file_k, and the whole window
+            index (split + Fisher-Yates) is built GIL-FREE in C++
+            (nvtpq_build_window_index); the arrow fallback computes the
+            same split with the numpy mix64 twin.
+          * explicit (FULL shuffle): entries are (batch, idx, None) with
+            idx a random subset in random order from the producer's
+            permutation."""
+        if buf and buf[0][2] is not None:
+            return self._flush_seeded(buf)
+        pieces = [(b, i if i is not None else np.arange(b.num_rows)) for b, i, _ in buf]
         lens = [len(i) for _, i in pieces]
         total = int(sum(lens))
         perm = self.rng.permutation(total)
@@ -257,6 +273,48 @@ class _FileWorker:
             out[name] = Column(dest, None, dvalid)
         self._write(out.to_arrow())
 
+    def _flush_seeded(self, buf: List):
+        """Flush a window of WHOLE pieces under the seeded hash-split
+        protocol (see _flush). Hot path: one C++ call builds this file's
+        shuffled gather index, one C++ call per column encodes — no numpy
+        permutation, no scatter, no GIL-held landing pass."""
+        batches = [b for b, _, _ in buf]
+        seeds = [s for _, _, s in buf]
+        total = sum(b.num_rows for b in batches)
+        if self._use_native(batches, max(1, total // max(1, self.nfiles))):
+            from .native_parquet import build_window_index
+
+            gidx = build_window_index(
+                [b.num_rows for b in batches],
+                seeds,
+                self.nfiles,
+                self.file_k,
+                int(self.rng.integers(0, 2**63)),
+            )
+            if len(gidx) == 0:
+                return
+            names = batches[0].column_names
+            self.native.write_row_group(
+                [[np.asarray(b[nm].values) for b in batches] for nm in names],
+                gidx,
+                len(gidx),
+            )
+            return
+        # arrow fallback: materialize this file's subset with the numpy
+        # twin of the C++ hash split, then reuse the explicit-idx flush
+        from .native_parquet import hash_split
+
+        legacy = []
+        for b, s in zip(batches, seeds):
+            if self.nfiles <= 1:
+                idx = np.arange(b.num_rows)
+            else:
+                idx = np.flatnonzero(hash_split(s, b.num_rows, self.nfiles) == self.file_k)
+            legacy.append((b, self.rng.permutation(idx) if len(idx) else idx, None))
+        if sum(len(i) for _, i, _ in legacy) == 0:
+            return
+        self._flush(legacy)
+
     def _write(self, table):
         import pyarrow.parquet as pq
 
@@ -301,11 +359,12 @@ def _column_encodings(schema):
 
     if os.environ.get("NVT_PARQUET_ENCODINGS", "1") == "0":
         return None
+    float_raw = os.environ.get("NVT_PARQUET_FLOAT_CODEC", "zstd") == "none"
     enc = {}
     for field in schema:
         if pa.types.is_integer(field.type):
             enc[field.name] = "DELTA_BINARY_PACKED"
-        elif pa.types.is_floating(field.type):
+        elif pa.types.is_floating(field.type) and not float_raw:
             enc[field.name] = "BYTE_STREAM_SPLIT"
     return enc or None
 
@@ -337,8 +396,11 @@ def _resolve_compression(compression, schema):
     codec = {}
     level = {}
     zstd_level = int(os.environ.get("NVT_PARQUET_ZSTD_LEVEL", 1))
+    float_raw = os.environ.get("NVT_PARQUET_FLOAT_CODEC", "zstd") == "none"
     for field in schema:
-        if pa.types.is_integer(field.type):
+        if pa.types.is_integer(field.type) or (
+            float_raw and pa.types.is_floating(field.type)
+        ):
             codec[field.name] = "NONE"
         else:
             codec[field.name] = "ZSTD"
@@ -379,11 +441,12 @@ class ParquetWriter:
         self._workers = [
             _FileWorker(
                 p, self.compression, row_group_size, buffer_partitions, queue_depth,
-                seed=seed * 1000 + i,
+                seed=seed * 1000 + i, file_k=i, nfiles=self.num_files,
             )
             for i, p in enumerate(self._paths)
         ]
         self._next = 0
+        self._seed_rng = np.random.default_rng(seed)
 
     def append(self, batch: TableBatch, file_idx: Optional[int] = None):
         if batch.num_rows == 0:
@@ -391,7 +454,19 @@ class ParquetWriter:
         idx = self._next if file_idx is None else file_idx % self.num_files
         if file_idx is None:
             self._next = (self._next + 1) % self.num_files
-        self._workers[idx].submit((batch, None, False))
+        self._workers[idx].submit((batch, None, False, None))
+
+    def append_shuffled(self, batch: TableBatch):
+        """Streamed shuffle: hand the WHOLE batch + a fresh seed to every
+        file worker; each selects its disjoint hash-split subset and
+        shuffles inside its window (GIL-free in C++ on the native path).
+        Replaces the producer-side permutation+slice of append_split —
+        the permutation cost moves off the producer thread entirely."""
+        if batch.num_rows == 0:
+            return
+        seed = int(self._seed_rng.integers(0, 2**63))
+        for w in self._workers:
+            w.submit((batch, None, True, seed))
 
     def append_split(self, batch: TableBatch, perm=None, shuffled: Optional[bool] = None):
         """Split one batch across all output files (parallel encode).
@@ -412,10 +487,11 @@ class ParquetWriter:
             if length <= 0:
                 break
             idx = perm[start : start + length] if perm is not None else None
-            piece = (batch, idx, shuffled) if idx is not None else (
+            piece = (batch, idx, shuffled, None) if idx is not None else (
                 batch.slice(start, length),
                 None,
                 shuffled,
+                None,
             )
             self._workers[i].submit(piece)
             start += length
@@ -458,12 +534,12 @@ def write_dataset(
         table = dataset.to_table()
         writer.append_split(table, perm=rng.permutation(table.num_rows))
     elif shuffle in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION):
-        # streamed scatter-shuffle: every partition is permuted and split
-        # over all files as it arrives; PER_WORKER additionally re-permutes
-        # across each worker's buffered pieces (the multi-partition window)
+        # streamed scatter-shuffle: every partition is hash-split over all
+        # files as it arrives (seeded, computed inside each file worker);
+        # PER_WORKER additionally re-permutes across each worker's buffered
+        # pieces (the multi-partition window)
         for batch in dataset.to_batches(prefetch=1):
-            batch = batch.to_host()
-            writer.append_split(batch, perm=rng.permutation(batch.num_rows))
+            writer.append_shuffled(batch.to_host())
     else:
         for batch in dataset.to_batches(prefetch=1):
             writer.append(batch.to_host())

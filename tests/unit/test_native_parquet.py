@@ -237,3 +237,42 @@ def test_native_matches_arrow_bytes_semantics(tmp_path):
         a = np.sort(tn[name].to_numpy())
         b = np.sort(ta[name].to_numpy())
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_hash_split_twins_bit_identical():
+    """The numpy mix64 twin (arrow fallback) must match the C++ hash split
+    exactly: a window whose files straddle the native/arrow writers would
+    otherwise drop or duplicate rows."""
+    from nvtabular_tpu.io.native_parquet import build_window_index, hash_split
+
+    n, nfiles, seed = 100_003, 5, 0x9D2C5680F1234567
+    np_assign = hash_split(seed, n, nfiles)
+    counts = np.bincount(np_assign, minlength=nfiles)
+    seen = np.zeros(n, dtype=bool)
+    for k in range(nfiles):
+        gidx = build_window_index([n], [seed], nfiles, k, shuffle_seed=k + 1)
+        rows = np.asarray(gidx) & ((1 << 48) - 1)
+        # C++ selection == numpy selection, row for row
+        np.testing.assert_array_equal(np.sort(rows), np.flatnonzero(np_assign == k))
+        assert len(rows) == counts[k]
+        assert not seen[rows].any()
+        seen[rows] = True
+    assert seen.all()
+
+
+def test_seeded_stream_preserves_rows_across_native_and_arrow(tmp_path):
+    """Streamed PER_WORKER shuffle through the seeded protocol: every input
+    row lands exactly once, under both writers."""
+    for native, sub in (("1", "n"), ("0", "a")):
+        os.environ["NVT_NATIVE_PARQUET"] = native
+        try:
+            rng = np.random.default_rng(11)
+            batches = _batches(5, 20_000, rng)
+            out = str(tmp_path / sub)
+            write_dataset(_Stream(batches), out, shuffle=check_shuffle_arg("per_worker"), out_files=3)
+        finally:
+            os.environ.pop("NVT_NATIVE_PARQUET")
+        t = _read_sorted(out)
+        assert t.num_rows == 5 * 20_000
+        ref = np.sort(np.concatenate([np.asarray(b["i64"].values) for b in batches]))
+        np.testing.assert_array_equal(np.sort(t["i64"].to_numpy()), ref)
