@@ -311,21 +311,39 @@ def main():
     from nvtabular_tpu.io.shuffle import check_shuffle_arg
     from nvtabular_tpu.io.writer import write_dataset
 
-    def run_write_phase(base_dir, epochs):
-        write_dir = tempfile.mkdtemp(prefix="nvt_bench_write_", dir=base_dir)
-        start = time.perf_counter()
-        write_dataset(
-            _HostTransformedStream(epochs),
-            write_dir,
-            shuffle=check_shuffle_arg("per_worker"),
-            out_files=out_files,
-        )
-        seconds = time.perf_counter() - start
-        bytes_written = sum(
-            os.path.getsize(os.path.join(write_dir, f)) for f in os.listdir(write_dir)
-        )
-        shutil.rmtree(write_dir, ignore_errors=True)
-        return seconds, bytes_written
+    def run_write_phase(base_dir, epochs, recycle_chunk=0):
+        """Transform -> shuffled write for `epochs` passes over the parts.
+
+        recycle_chunk > 0 writes that many epochs per write_dataset call
+        into a fresh directory and DELETES each chunk before the next: the
+        VM host thin-provisions guest RAM (first-touch of NEW pages
+        throttles to ~100-170 MB/s after a ~3.5 GB burst; freed pages
+        recycle at full speed), so an unbounded output directory measures
+        the host's page-provisioning throttle, not the pipeline. Chunked
+        recycling keeps the footprint bounded and the measurement
+        CPU-bound — the configuration production hardware (storage that
+        absorbs the output at pipeline rate) actually sees."""
+        total_seconds = 0.0
+        total_bytes = 0
+        chunk = recycle_chunk if recycle_chunk > 0 else epochs
+        done = 0
+        while done < epochs:
+            n = min(chunk, epochs - done)
+            write_dir = tempfile.mkdtemp(prefix="nvt_bench_write_", dir=base_dir)
+            start = time.perf_counter()
+            write_dataset(
+                _HostTransformedStream(n),
+                write_dir,
+                shuffle=check_shuffle_arg("per_worker"),
+                out_files=out_files,
+            )
+            total_seconds += time.perf_counter() - start
+            total_bytes += sum(
+                os.path.getsize(os.path.join(write_dir, f)) for f in os.listdir(write_dir)
+            )
+            shutil.rmtree(write_dir, ignore_errors=True)
+            done += n
+        return total_seconds, total_bytes
 
     # single-epoch pass first (the row count the transform sweep used, for
     # continuity with BENCH_r01/r02), then the multi-epoch amortizing run
@@ -347,24 +365,58 @@ def main():
     # configurations are in the artifact; `etl_float_codec` records which.
     etl_float_codec = os.environ.get("NVT_BENCH_E2E_FLOAT_CODEC", "none")
     os.environ["NVT_PARQUET_FLOAT_CODEC"] = etl_float_codec
-    shm_detail = {}
-    if os.path.isdir("/dev/shm"):
-        print("bench: e2e stream (tmpfs)...", file=sys.stderr, flush=True)
-        shm_seconds, shm_bytes = run_write_phase("/dev/shm", stream_epochs)
-        shm_detail = {
-            "etl_tmpfs_rows_per_sec": round(e2e_rows / (fit_seconds + shm_seconds), 1),
-            "tmpfs_stream_seconds": round(shm_seconds, 3),
-            "tmpfs_stream_rows_per_sec": round(e2e_rows / shm_seconds, 1),
-            "tmpfs_write_mb_per_sec": round(shm_bytes / shm_seconds / 1e6, 1),
-            "tmpfs_note": "ram-backed output: same code path, disk removed as variable",
-        }
+    # PRIMARY stream: chunked + recycled output (CPU-bound; see
+    # run_write_phase docstring) on tmpfs when present, else disk.
+    recycle_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    recycle_chunk = int(os.environ.get("NVT_BENCH_E2E_CHUNK", 4))
     print(
-        f"bench: e2e stream ({stream_epochs} epochs to disk)...",
+        f"bench: e2e stream ({stream_epochs} epochs, recycled chunks of {recycle_chunk})...",
         file=sys.stderr,
         flush=True,
     )
-    e2e_seconds, e2e_bytes = run_write_phase(None, stream_epochs)
+    e2e_seconds, e2e_bytes = run_write_phase(recycle_base, stream_epochs, recycle_chunk)
+    # storage-gated variant: one directory on the root disk, fewer epochs
+    # (raw /dev/vda sustains only ~75-140 MB/s on this VM — anything above
+    # that is page-cache absorption; see docs/performance.md)
+    disk_epochs = int(os.environ.get("NVT_BENCH_E2E_DISK_EPOCHS", 8))
+    print(f"bench: e2e stream ({disk_epochs} epochs to disk, unrecycled)...", file=sys.stderr, flush=True)
+    disk_seconds, disk_bytes = run_write_phase(None, disk_epochs)
+    disk_detail = {
+        "etl_disk_rows_per_sec": round(rows_per_pass * disk_epochs / (fit_seconds + disk_seconds), 1),
+        "disk_stream_seconds": round(disk_seconds, 3),
+        "disk_stream_rows_per_sec": round(rows_per_pass * disk_epochs / disk_seconds, 1),
+        "disk_write_mb_per_sec": round(disk_bytes / disk_seconds / 1e6, 1),
+        "disk_stream_epochs": disk_epochs,
+        "disk_note": "storage-gated: single output dir on the VM disk (raw ~110MB/s sustained)",
+    }
     os.environ.pop("NVT_PARQUET_FLOAT_CODEC", None)
+
+    # ------------------------------------------------------------------
+    # FULL-PIPELINE fit: the reference's fit scans EVERY row of the input
+    # (its Runtime = fit-scan(all rows) + transform + write), so the
+    # amortized accounting above (one 16-part fit spread over the stream)
+    # under-counts the scan. Measure a real fit over the same repeated
+    # stream the write phase consumed: a fresh workflow fits
+    # stream_epochs x parts (same 22.3M-key vocabulary — repeated parts
+    # re-hit existing keys, mirroring Criteo-TB's ~5-6 rows-per-key
+    # profile, though real data discovers keys throughout the scan while
+    # this rediscovers none after epoch 1 — labeled as such).
+    print(f"bench: full-pipeline fit ({stream_epochs} epochs)...", file=sys.stderr, flush=True)
+
+    full_cats = cat_names >> ops.Categorify(max_size=10_000_000)
+    full_conts = (
+        cont_names
+        >> ops.FillMissing()
+        >> ops.Clip(min_value=0.0)
+        >> ops.LogOp()
+        >> ops.Normalize()
+    )
+    full_workflow = nvt.Workflow(full_cats + full_conts + ["label"])
+    full_fit_start = time.perf_counter()
+    full_workflow.fit(nvt.Dataset(parts * stream_epochs))  # repeated refs, no copies
+    full_fit_seconds = time.perf_counter() - full_fit_start
+    full_fit_stats = dict(getattr(full_workflow, "_fit_engine").last_fit_stats)
+    del full_workflow
 
     if input_dir:
         shutil.rmtree(input_dir, ignore_errors=True)
@@ -376,6 +428,7 @@ def main():
         else None
     )
     etl_end_to_end_rows_per_sec = e2e_rows / (fit_seconds + e2e_seconds)
+    etl_full_pipeline_rows_per_sec = e2e_rows / (full_fit_seconds + e2e_seconds)
 
     vocab_total = sum(len(v.values_by_code) for v in _categorify_ops(workflow))
     print(
@@ -408,9 +461,29 @@ def main():
                     "write_mb_per_sec": round(write_bytes / write_seconds / 1e6, 1),
                     "write_bytes": write_bytes,
                     # end-to-end ETL (fit + transform + shuffled write), the
-                    # span the reference baseline Runtime measures
+                    # span the reference baseline Runtime measures. Two
+                    # accountings: `etl_end_to_end` amortizes ONE 16-part fit
+                    # over the stream (fit cost treated as fixed); `etl_full_
+                    # pipeline` charges a fit whose SCAN covered every stream
+                    # row (the reference's fit scans all input rows) — the
+                    # stricter, honest number.
                     "etl_end_to_end_rows_per_sec": round(etl_end_to_end_rows_per_sec, 1),
                     "etl_vs_baseline": round(etl_end_to_end_rows_per_sec / BASELINE_ROWS_PER_SEC, 4),
+                    "etl_full_pipeline_rows_per_sec": round(etl_full_pipeline_rows_per_sec, 1),
+                    "etl_full_pipeline_vs_baseline": round(
+                        etl_full_pipeline_rows_per_sec / BASELINE_ROWS_PER_SEC, 4
+                    ),
+                    "full_fit_seconds": round(full_fit_seconds, 3),
+                    "full_fit_scan_seconds": round(full_fit_stats.get("scan_seconds", 0.0), 3),
+                    "full_fit_scan_rows_per_sec": round(
+                        e2e_rows / full_fit_stats["scan_seconds"], 1
+                    )
+                    if full_fit_stats.get("scan_seconds")
+                    else None,
+                    "full_fit_note": (
+                        "fresh workflow fitted over the repeated stream (rows/keys ~6, the"
+                        " Criteo-TB ratio); repeats rediscover no new keys after epoch 1"
+                    ),
                     "etl_rows": int(e2e_rows),
                     "etl_stream_epochs": stream_epochs,
                     "etl_float_codec": etl_float_codec,
@@ -418,7 +491,12 @@ def main():
                     "etl_stream_seconds": round(e2e_seconds, 3),
                     "etl_stream_rows_per_sec": round(e2e_rows / e2e_seconds, 1),
                     "etl_write_mb_per_sec": round(e2e_bytes / e2e_seconds / 1e6, 1),
-                    **shm_detail,
+                    "etl_stream_note": (
+                        "chunked+recycled output (bounded footprint): the VM host throttles"
+                        " first-touch of new pages to ~150MB/s past a ~3.5GB burst, so an"
+                        " unbounded output dir measures the balloon, not the pipeline"
+                    ),
+                    **disk_detail,
                     "backend": _backend(),
                 },
             }

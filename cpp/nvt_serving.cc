@@ -16,6 +16,7 @@
 #include <sys/mman.h>
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -1077,6 +1078,28 @@ struct Counter32 {
     return mix64(static_cast<uint64_t>(static_cast<uint32_t>(k))) & mask;
   }
 
+  // Insert/accumulate with a PRECOMPUTED home slot (must equal slot_of(k)
+  // under the current mask) and capacity guaranteed by the caller — the
+  // slot-ordered drain path (PCounter32::drain) pre-reserves so no grow
+  // can occur mid-drain and precomputed slots stay valid.
+  inline void add_at(uint64_t slot, int32_t k, uint32_t c) {
+    while (true) {
+      Entry& e = entries[slot];
+      if (e.cnt == 0) {
+        e.key = k;
+        e.cnt = c;
+        ++used;
+        return;
+      }
+      if (e.key == k) {
+        e.cnt += c;
+        if (e.cnt >= kCntCap) promote = true;
+        return;
+      }
+      slot = (slot + 1) & mask;
+    }
+  }
+
   inline void add(int32_t k, uint32_t c) {
     if (c == 0) return;
     uint64_t slot = slot_of(k);
@@ -1098,9 +1121,221 @@ struct Counter32 {
   }
 };
 
+// Radix-partitioned streaming counter for HIGH-CARDINALITY int32 keys.
+// The scarce resource on the target hosts is RANDOM DRAM/LLC access —
+// measured 69M random cache-line loads/s on ONE thread with NEGATIVE
+// scaling to 50M aggregate on four, while sequential streams run 56 GB/s.
+// A flat table makes every upsert one random line (the Criteo-profile big
+// columns are ~all-singleton, so there is no hot head to cache); this
+// design makes the hot loop SEQUENTIAL instead:
+//   update(): one streaming pass appends each value to one of 256 bucket
+//             buffers by the TOP 8 bits of mix64 (256 open cache lines,
+//             all appends sequential within a bucket),
+//   drain():  a full buffer upserts into that bucket's PRIVATE Counter32
+//             whose table holds only keys sharing the hash prefix —
+//             total_keys/256 entries (~hundreds of KB), L2-resident for
+//             the whole drain.
+// Bucket index = mix64 >> 56 and Counter32 slots = mix64 & mask use
+// DISJOINT hash bits, so per-bucket tables stay uniformly loaded.
+struct PCounter32 {
+  static constexpr int kBucketBits = 8;
+  static constexpr int kNB = 1 << kBucketBits;
+  // Buffer depth is the LOCALITY lever: a drain of B values into a table
+  // of L cache lines refetches ~min(B, L) lines, so line reuse is B/L —
+  // at 16K values vs the ~4K-line tables of a 4M-key column each line
+  // absorbs ~4 upserts, and the slot-ordered sweep below turns those
+  // fetches into an ascending walk the hardware prefetcher covers.
+  static constexpr int kBufVals = 16384;  // 64KB buffer per bucket
+
+  std::vector<std::unique_ptr<Counter32>> tables;
+  std::vector<int32_t> bufs;
+  std::array<int32_t, kNB> fill{};
+  std::vector<uint32_t> scratch_slots;   // drain scratch: slot per value
+  std::vector<int32_t> scratch_vals;     // drain scratch: values slot-ordered
+  std::vector<uint32_t> scratch_slots2;  // drain scratch: slots slot-ordered
+  bool promote = false;  // some count crossed 2^31 — caller drains to 64-bit
+
+  PCounter32()
+      : tables(kNB),
+        bufs(size_t(kNB) * kBufVals),
+        scratch_slots(kBufVals),
+        scratch_vals(kBufVals),
+        scratch_slots2(kBufVals) {}
+
+  static inline int bucket_of_hash(uint64_t h) {
+    return static_cast<int>(h >> (64 - kBucketBits));
+  }
+
+  Counter32& table(int b) {
+    if (!tables[b]) tables[b].reset(new Counter32(1024));
+    return *tables[b];
+  }
+
+  // Slot-ordered drain: counting-sort the buffered values by the TOP bits
+  // of their home slot (256 groups), then upsert group by group — the
+  // table is swept front-to-back in ~S/256-slot windows instead of being
+  // hit at random. Pre-reserving for used+n forbids growth mid-drain, so
+  // the precomputed slots stay valid (Counter32::add_at contract).
+  void drain(int b) {
+    Counter32& t = table(b);
+    const int32_t* v = &bufs[size_t(b) * kBufVals];
+    const int n = fill[b];
+    t.reserve(t.used + static_cast<uint64_t>(n));
+    const uint64_t cap = t.mask + 1;
+    // group = slot's top 8 bits; shift 0 when the table is tiny
+    int shift = 0;
+    for (uint64_t c = cap; c > 256; c >>= 1) ++shift;
+    int hist[257] = {0};
+    for (int j = 0; j < n; ++j) {
+      const uint32_t s = static_cast<uint32_t>(t.slot_of(v[j]));
+      scratch_slots[j] = s;
+      ++hist[(s >> shift) + 1];
+    }
+    for (int g = 0; g < 256; ++g) hist[g + 1] += hist[g];
+    for (int j = 0; j < n; ++j) {
+      const uint32_t s = scratch_slots[j];
+      const int pos = hist[s >> shift]++;
+      scratch_vals[pos] = v[j];
+      scratch_slots2[pos] = s;
+    }
+    for (int j = 0; j < n; ++j) t.add_at(scratch_slots2[j], scratch_vals[j], 1);
+    if (t.promote) promote = true;
+    fill[b] = 0;
+  }
+
+  void update(const int32_t* vals, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t k = vals[i];
+      const int b = bucket_of_hash(
+          mix64(static_cast<uint64_t>(static_cast<uint32_t>(k))));
+      int32_t& f = fill[b];
+      bufs[size_t(b) * kBufVals + f] = k;
+      if (++f == kBufVals) drain(b);
+    }
+  }
+
+  void flush() {
+    for (int b = 0; b < kNB; ++b)
+      if (fill[b]) drain(b);
+  }
+
+  void add(int32_t k, uint32_t c) {
+    Counter32& t = table(bucket_of_hash(
+        mix64(static_cast<uint64_t>(static_cast<uint32_t>(k)))));
+    t.add(k, c);
+    if (t.promote) promote = true;
+  }
+
+  uint64_t size_flushed() {
+    flush();
+    uint64_t s = 0;
+    for (auto& t : tables)
+      if (t) s += t->used;
+    return s;
+  }
+
+  void reserve(uint64_t n) {
+    const uint64_t per = n / kNB + 1;
+    if (per < 1024) return;  // per-bucket reserves below the initial cap are churn
+    for (int b = 0; b < kNB; ++b) table(b).reserve(per);
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// ---- partitioned counter (see PCounter32 above) ---------------------------
+
+void* nvt_pcounter_create() { return new PCounter32(); }
+
+int32_t nvt_pcounter_update(void* h, const int32_t* vals, int64_t n) {
+  PCounter32& c = *static_cast<PCounter32*>(h);
+  c.update(vals, n);
+  return c.promote ? 1 : 0;
+}
+
+// merge-time adds: keys must fit int32, counts must stay below 2^31
+// (the Python caller routes anything else through the 64-bit Counter)
+int32_t nvt_pcounter_add(void* h, const int64_t* keys, const int64_t* counts,
+                         int64_t n) {
+  PCounter32& c = *static_cast<PCounter32*>(h);
+  for (int64_t i = 0; i < n; ++i)
+    c.add(static_cast<int32_t>(keys[i]), static_cast<uint32_t>(counts[i]));
+  return c.promote ? 1 : 0;
+}
+
+void nvt_pcounter_reserve(void* h, int64_t n) {
+  static_cast<PCounter32*>(h)->reserve(static_cast<uint64_t>(n > 0 ? n : 0));
+}
+
+int64_t nvt_pcounter_size(void* h) {
+  return static_cast<int64_t>(static_cast<PCounter32*>(h)->size_flushed());
+}
+
+void nvt_pcounter_extract(void* h, int64_t* keys_out, int64_t* counts_out) {
+  PCounter32& c = *static_cast<PCounter32*>(h);
+  c.flush();
+  int64_t j = 0;
+  for (auto& t : c.tables) {
+    if (!t) continue;
+    for (size_t i = 0; i <= t->mask; ++i) {
+      if (t->entries[i].cnt != 0) {
+        keys_out[j] = t->entries[i].key;
+        counts_out[j] = t->entries[i].cnt;
+        ++j;
+      }
+    }
+  }
+}
+
+void nvt_pcounter_extract_sorted(void* h, int64_t* keys_out,
+                                 int64_t* counts_out) {
+  PCounter32& c = *static_cast<PCounter32*>(h);
+  c.flush();
+  std::vector<Counter32::Entry> items;
+  items.reserve(c.size_flushed());
+  for (auto& t : c.tables) {
+    if (!t) continue;
+    for (size_t i = 0; i <= t->mask; ++i)
+      if (t->entries[i].cnt != 0) items.push_back(t->entries[i]);
+  }
+  std::sort(items.begin(), items.end(),
+            [](const Counter32::Entry& a, const Counter32::Entry& b) {
+              if (a.cnt != b.cnt) return a.cnt > b.cnt;
+              return a.key < b.key;
+            });
+  for (size_t i = 0; i < items.size(); ++i) {
+    keys_out[i] = items[i].key;
+    counts_out[i] = items[i].cnt;
+  }
+}
+
+// migrate a flat 32-bit counter's contents into the partitioned one
+// (the size-threshold crossover: the flat table has outgrown L2)
+void nvt_counter32_drain_into_p(void* hp, void* h32) {
+  PCounter32& dst = *static_cast<PCounter32*>(hp);
+  Counter32& src = *static_cast<Counter32*>(h32);
+  for (size_t i = 0; i <= src.mask; ++i)
+    if (src.entries[i].cnt != 0)
+      dst.add(src.entries[i].key, src.entries[i].cnt);
+}
+
+// promotion on count overflow: drain everything into the 64-bit Counter
+void nvt_pcounter_drain_into(void* h64, void* hp) {
+  Counter& dst = *static_cast<Counter*>(h64);
+  PCounter32& src = *static_cast<PCounter32*>(hp);
+  src.flush();
+  for (auto& t : src.tables) {
+    if (!t) continue;
+    for (size_t i = 0; i <= t->mask; ++i)
+      if (t->entries[i].cnt != 0)
+        dst.add(static_cast<int64_t>(t->entries[i].key),
+                static_cast<int64_t>(t->entries[i].cnt));
+  }
+}
+
+void nvt_pcounter_free(void* h) { delete static_cast<PCounter32*>(h); }
 
 void* nvt_counter32_create(int64_t initial_capacity) {
   auto* c = new Counter32(static_cast<uint64_t>(

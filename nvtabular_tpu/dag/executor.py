@@ -1003,7 +1003,41 @@ class FitEngine:
             scan_start = time.perf_counter()
             for batch in dataset.to_batches(columns=columns, shard=shard):
                 memo: Dict[int, TableBatch] = {}
-                for n in nodes:
+                # Node-level overlap: ops whose fit_batch releases the GIL
+                # (fit_batch_concurrent, e.g. Categorify's pooled C++
+                # counters) run on a side thread while the remaining ops'
+                # input chains + numpy scans (e.g. cont_pipe -> Normalize
+                # moments) use the main thread — the two scans were
+                # strictly additive before (measured 0.95s cats + 0.69s
+                # conts per 4.2M rows), now ~max(). Concurrent nodes'
+                # inputs are computed FIRST (cheap raw-column selects) so
+                # the side thread launches before the serial input chains
+                # start; the memo dict stays main-thread-only.
+                def _concurrent_ok(n):
+                    if id(n) in mesh_plans or id(n) not in states:
+                        return False
+                    probe = getattr(n.op, "fit_batch_concurrent", None)
+                    return bool(probe and probe(states[id(n)]))
+
+                conc_nodes = [n for n in nodes if _concurrent_ok(n)]
+                rest = [n for n in nodes if not _concurrent_ok(n)]
+                th = None
+                if conc_nodes and rest:
+                    conc = [
+                        (n, self._input_executor.compute_node_input(n, batch, memo))
+                        for n in conc_nodes
+                    ]
+                    import threading as _threading
+
+                    def _run_conc():
+                        for n, ib in conc:
+                            states[id(n)] = n.op.fit_batch(n.selector, ib, states[id(n)])
+
+                    th = _threading.Thread(target=_run_conc)
+                    th.start()
+                else:
+                    rest = nodes
+                for n in rest:
                     input_batch = self._input_executor.compute_node_input(n, batch, memo)
                     if id(n) in mesh_plans:
                         for cname in mesh_plans[id(n)]:
@@ -1017,6 +1051,8 @@ class FitEngine:
                             mesh_buffers[id(n)][cname].append((vals, validity))
                         continue
                     states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
+                if th is not None:
+                    th.join()
                 seen_rows += batch.num_rows
                 if total_rows:
                     frac = seen_rows / total_rows

@@ -909,6 +909,19 @@ class Categorify(StatOperator):
             run_group(group)
         return state
 
+    def fit_batch_concurrent(self, state) -> bool:
+        """True when every accumulator is committed to the native C++
+        counter: fit_batch is then GIL-releasing and the FitEngine may run
+        it on a side thread overlapped with other ops' numpy scans. Arrow
+        accumulators (string keys) must stay on the main thread —
+        concurrent pyarrow aggregation segfaults in this environment —
+        and undecided accumulators (before their first batch) keep the
+        first pass serial so the decision itself is race-free."""
+        return bool(state) and all(
+            accum._use_native is True and not accum.partials
+            for accum in state.values()
+        )
+
     def fit_progress(self, state, frac: float) -> None:
         """Scan-progress callback from the FitEngine (frac of rows seen):
         lets each vocabulary accumulator right-size its native counter from

@@ -132,6 +132,20 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.nvt_counter32_drain_into.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.nvt_counter32_free.argtypes = [ctypes.c_void_p]
     lib.nvt_counter_free.argtypes = [ctypes.c_void_p]
+    lib.nvt_pcounter_create.restype = ctypes.c_void_p
+    lib.nvt_pcounter_create.argtypes = []
+    lib.nvt_pcounter_update.restype = ctypes.c_int32
+    lib.nvt_pcounter_update.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
+    lib.nvt_pcounter_add.restype = ctypes.c_int32
+    lib.nvt_pcounter_add.argtypes = [ctypes.c_void_p, i64p, i64p, ctypes.c_int64]
+    lib.nvt_pcounter_reserve.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.nvt_pcounter_size.restype = ctypes.c_int64
+    lib.nvt_pcounter_size.argtypes = [ctypes.c_void_p]
+    lib.nvt_pcounter_extract.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_pcounter_extract_sorted.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.nvt_counter32_drain_into_p.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.nvt_pcounter_drain_into.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.nvt_pcounter_free.argtypes = [ctypes.c_void_p]
     lib.nvt_cuckoo_build.restype = ctypes.c_int64
     lib.nvt_cuckoo_build.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p]
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -326,32 +340,66 @@ class NativeCounter:
     count crosses 2^31, a later batch brings 64-bit keys, or a merge
     adds arbitrary (key, count) pairs. Counts stay exact throughout."""
 
+    # Flat-table size past which an int32 counter migrates to the
+    # radix-partitioned map (cpp PCounter32): at 256K used keys the open
+    # table spans ~4MB — past per-core L2, into the random-access regime
+    # that does not scale across threads (see the PCounter32 rationale).
+    PARTITION_THRESHOLD = int(os.environ.get("NVT_PCOUNTER_THRESHOLD", 1 << 18))
+
     def __init__(self, initial_capacity: int = 1 << 14):
         self.lib = _build_and_load()
         self.handle = None  # 64-bit map (created on demand)
         self.handle32 = None  # 32-bit map (first int32 stream)
+        self.phandle = None  # radix-partitioned int32 map (high cardinality)
         self._capacity_hint = int(initial_capacity)
 
     # -- internal ------------------------------------------------------
     def _ensure64(self) -> None:
-        """Create the 64-bit map, draining the 32-bit one if present."""
+        """Create the 64-bit map, draining the 32-bit/partitioned one."""
         if self.handle is not None:
             return
         cap = self._capacity_hint
         if self.handle32 is not None:
             cap = max(cap, int(self.lib.nvt_counter32_size(self.handle32)) * 10 // 7)
+        if self.phandle is not None:
+            cap = max(cap, int(self.lib.nvt_pcounter_size(self.phandle)) * 10 // 7)
         self.handle = self.lib.nvt_counter_create(cap)
         if self.handle32 is not None:
             self.lib.nvt_counter32_drain_into(self.handle, self.handle32)
             self.lib.nvt_counter32_free(self.handle32)
             self.handle32 = None
+        if self.phandle is not None:
+            self.lib.nvt_pcounter_drain_into(self.handle, self.phandle)
+            self.lib.nvt_pcounter_free(self.phandle)
+            self.phandle = None
+
+    def _ensure_partitioned(self) -> None:
+        """Migrate the flat 32-bit map into the partitioned one."""
+        if self.phandle is not None or self.handle is not None:
+            return
+        self.phandle = self.lib.nvt_pcounter_create()
+        if self._capacity_hint:
+            self.lib.nvt_pcounter_reserve(self.phandle, self._capacity_hint)
+        if self.handle32 is not None:
+            self.lib.nvt_counter32_drain_into_p(self.phandle, self.handle32)
+            self.lib.nvt_counter32_free(self.handle32)
+            self.handle32 = None
 
     def update(self, values: np.ndarray) -> None:
-        if (
-            self.handle is None
-            and values.dtype.kind == "i"
-            and values.dtype.itemsize <= 4
-        ):
+        int32_typed = values.dtype.kind == "i" and values.dtype.itemsize <= 4
+        if self.phandle is not None and self.handle is None:
+            if int32_typed:
+                vals = np.ascontiguousarray(values, dtype=np.int32)
+                promote = self.lib.nvt_pcounter_update(
+                    self.phandle,
+                    vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    len(vals),
+                )
+                if promote:  # a count crossed 2^31 — continue in 64-bit
+                    self._ensure64()
+                return
+            self._ensure64()  # 64-bit keys arrived: leave the int32 maps
+        if self.handle is None and int32_typed:
             vals = np.ascontiguousarray(values, dtype=np.int32)
             if self.handle32 is None:
                 self.handle32 = self.lib.nvt_counter32_create(self._capacity_hint)
@@ -362,6 +410,12 @@ class NativeCounter:
             )
             if promote:  # a count crossed 2^31 — continue in 64-bit
                 self._ensure64()
+            elif (
+                self.PARTITION_THRESHOLD
+                and int(self.lib.nvt_counter32_size(self.handle32))
+                > self.PARTITION_THRESHOLD
+            ):
+                self._ensure_partitioned()
             return
         self._ensure64()
         # int32 (and narrower signed) inputs go through the int32 entry
@@ -381,17 +435,48 @@ class NativeCounter:
         )
 
     def reserve(self, n: int) -> None:
-        """Pre-size for ~n distinct keys (one rehash instead of a ladder)."""
+        """Pre-size for ~n distinct keys (one rehash instead of a ladder).
+
+        A hint past the partition threshold migrates an int32 stream to
+        the partitioned map immediately — the extrapolated cardinality
+        says the flat table is about to outgrow L2 anyway."""
         self._capacity_hint = max(self._capacity_hint, int(n))
+        if (
+            self.PARTITION_THRESHOLD
+            and self.handle is None
+            and self.phandle is None
+            and self.handle32 is not None
+            and int(n) > self.PARTITION_THRESHOLD
+        ):
+            self._ensure_partitioned()
+        if self.phandle is not None:
+            self.lib.nvt_pcounter_reserve(self.phandle, int(n))
         if self.handle32 is not None:
             self.lib.nvt_counter32_reserve(self.handle32, int(n))
         if self.handle is not None:
             self.lib.nvt_counter_reserve(self.handle, int(n))
 
     def add(self, keys: np.ndarray, counts: np.ndarray) -> None:
-        self._ensure64()  # merge pairs carry arbitrary keys/counts
         keys = np.ascontiguousarray(keys, dtype=np.int64)
         counts = np.ascontiguousarray(counts, dtype=np.int64)
+        if (
+            self.phandle is not None
+            and self.handle is None
+            and (len(keys) == 0 or (
+                keys.min() >= -(2**31) and keys.max() < 2**31
+                and counts.max(initial=0) < 2**31
+            ))
+        ):
+            promote = self.lib.nvt_pcounter_add(
+                self.phandle,
+                keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(keys),
+            )
+            if promote:
+                self._ensure64()
+            return
+        self._ensure64()  # merge pairs carry arbitrary keys/counts
         self.lib.nvt_counter_add(
             self.handle,
             keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -402,11 +487,13 @@ class NativeCounter:
     def _size(self) -> int:
         if self.handle is not None:
             return int(self.lib.nvt_counter_size(self.handle))
+        if self.phandle is not None:
+            return int(self.lib.nvt_pcounter_size(self.phandle))
         if self.handle32 is not None:
             return int(self.lib.nvt_counter32_size(self.handle32))
         return 0
 
-    def _extract_via(self, fn64, fn32):
+    def _extract_via(self, fn64, fn32, fnp):
         n = self._size()
         keys = np.empty(n, dtype=np.int64)
         counts = np.empty(n, dtype=np.int64)
@@ -415,6 +502,8 @@ class NativeCounter:
             cp = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
             if self.handle is not None:
                 fn64(self.handle, kp, cp)
+            elif self.phandle is not None:
+                fnp(self.phandle, kp, cp)
             else:
                 fn32(self.handle32, kp, cp)
         return keys, counts
@@ -423,10 +512,12 @@ class NativeCounter:
         stash = getattr(self, "_stash", None)
         if stash is not None:
             return stash
-        if self.handle is None and self.handle32 is None:
+        if self.handle is None and self.handle32 is None and self.phandle is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return self._extract_via(
-            self.lib.nvt_counter_extract, self.lib.nvt_counter32_extract
+            self.lib.nvt_counter_extract,
+            self.lib.nvt_counter32_extract,
+            self.lib.nvt_pcounter_extract,
         )
 
     def extract_sorted(self):
@@ -438,11 +529,12 @@ class NativeCounter:
             keys, counts = stash
             order = np.lexsort((keys, -counts))
             return keys[order], counts[order]
-        if self.handle is None and self.handle32 is None:
+        if self.handle is None and self.handle32 is None and self.phandle is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return self._extract_via(
             self.lib.nvt_counter_extract_sorted,
             self.lib.nvt_counter32_extract_sorted,
+            self.lib.nvt_pcounter_extract_sorted,
         )
 
     def __getstate__(self):
@@ -455,6 +547,7 @@ class NativeCounter:
         # back to carrying the arrays (extract() serves them to the merge)
         self.handle = None
         self.handle32 = None
+        self.phandle = None
         self._capacity_hint = max(len(state["keys"]) * 2, 1024)
         try:
             self.lib = _build_and_load()
@@ -474,6 +567,8 @@ class NativeCounter:
                 lib.nvt_counter_free(self.handle)
             if getattr(self, "handle32", None):
                 lib.nvt_counter32_free(self.handle32)
+            if getattr(self, "phandle", None):
+                lib.nvt_pcounter_free(self.phandle)
         except Exception:
             pass
 

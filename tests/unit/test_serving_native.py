@@ -289,3 +289,51 @@ def test_counter_dual_width_promotion():
     assert 2**45 in set(m.extract()[0].tolist())
     p = pickle.loads(pickle.dumps(a))
     np.testing.assert_array_equal(p.extract_sorted()[0], ka)
+
+
+def test_partitioned_counter_matches_flat():
+    """High-cardinality int32 streams migrate to the radix-partitioned map
+    (PCounter32); counts, vocabulary order, pickling, and promotion must
+    all match the flat counter bit-for-bit."""
+    from nvtabular_tpu.serving.native import NativeCounter
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**31), 2**31, 1_500_000).astype(np.int32)
+    vals[:100_000] = vals[0]  # one hot key so counts differ from 1
+
+    part = NativeCounter()
+    for i in range(0, len(vals), 200_000):
+        part.update(vals[i : i + 200_000])
+    assert part.phandle is not None, "expected migration past the threshold"
+
+    flat = NativeCounter()
+    flat.PARTITION_THRESHOLD = 0  # instance override: stay flat
+    flat.update(vals)
+    assert flat.phandle is None
+
+    kp, cp = part.extract_sorted()
+    kf, cf = flat.extract_sorted()
+    np.testing.assert_array_equal(kp, kf)
+    np.testing.assert_array_equal(cp, cf)
+
+    # reserve() hint migrates early
+    early = NativeCounter()
+    early.update(np.arange(10, dtype=np.int32))
+    early.reserve(1_000_000)
+    assert early.phandle is not None
+    early.update(vals[:200_000])
+
+    # add() with in-range pairs stays partitioned; 64-bit key promotes
+    early.add(np.array([3], dtype=np.int64), np.array([5], dtype=np.int64))
+    assert early.phandle is not None
+    early.add(np.array([2**40], dtype=np.int64), np.array([2], dtype=np.int64))
+    assert early.handle is not None and early.phandle is None
+    got = dict(zip(*map(lambda a: a.tolist(), early.extract())))
+    expect3 = 1 + 5 + int((vals[:200_000] == 3).sum())
+    assert got[3] == expect3 and got[2**40] == 2
+
+    # pickle round-trip from partitioned mode
+    import pickle
+
+    p2 = pickle.loads(pickle.dumps(part))
+    np.testing.assert_array_equal(p2.extract_sorted()[0], kp)
