@@ -159,7 +159,29 @@ inline void bitpack(std::vector<uint8_t>* out, const uint64_t* vals, int count,
   size_t base = out->size();
   out->resize(base + bytes, 0);
   uint8_t* dst = out->data() + base;
-  if (width <= 56) {
+  if (width <= 32) {
+    // 64-bit accumulate + whole-word stores: the byte-at-a-time loop this
+    // replaces issued width/8 dependent stores per value and dominated the
+    // int-column encode (the shuffled-write hot loop). resize() above
+    // over-allocates nothing, so spill through a local word and memcpy the
+    // exact tail.
+    uint64_t acc = 0;
+    int nbits = 0;
+    for (int i = 0; i < count; i++) {
+      acc |= vals[i] << nbits;
+      nbits += width;
+      if (nbits >= 64) {
+        std::memcpy(dst, &acc, 8);
+        dst += 8;
+        nbits -= 64;
+        acc = nbits ? vals[i] >> (width - nbits) : 0;
+      }
+    }
+    if (nbits > 0) {
+      const int tail = (nbits + 7) / 8;
+      std::memcpy(dst, &acc, tail);
+    }
+  } else if (width <= 56) {
     uint64_t acc = 0;
     int nbits = 0;
     for (int i = 0; i < count; i++) {
@@ -269,18 +291,24 @@ extern "C" {
 
 // Build this file's destination-order gather index for a shuffle window of
 // WHOLE pieces (the streamed PER_WORKER/PER_PARTITION write path): row r of
-// piece p belongs to file mix64(piece_seeds[p] ^ r) % nfiles — every file
-// worker evaluates the same predicate, so the split is disjoint and
-// exhaustive with no cross-thread coordination — and the selected rows are
-// Fisher-Yates shuffled in place with shuffle_seed. Replaces the producer's
-// numpy permutation + the worker's perm/scatter (all GIL-held) with one
-// GIL-free call. Returns the selected row count; gidx must have capacity
-// sum(piece_rows).
+// piece p belongs to file ((((r * PHI64) ^ seed) >> 32) * nfiles) >> 32 —
+// a Fibonacci multiply-shift (well-mixed HIGH bits for sequential r) with
+// a 32x32 range map, ~3ns/row vs ~25ns for the mix64 finalizer this
+// replaces; every file worker evaluates the same predicate redundantly
+// (nfiles evals/row total), so the split predicate IS the hot loop. The
+// split is disjoint and exhaustive with no cross-thread coordination, and
+// the selected rows are Fisher-Yates shuffled in place with shuffle_seed
+// (mix64-chained — quality matters more than speed there: one eval per
+// SELECTED row, not per (row, file)). Replaces the producer's numpy
+// permutation + the worker's perm/scatter (all GIL-held) with one GIL-free
+// call. Returns the selected row count; gidx must have capacity
+// sum(piece_rows). MUST stay bit-identical to native_parquet.hash_split.
 long long nvtpq_build_window_index(const long long* piece_rows,
                                    const unsigned long long* piece_seeds,
                                    int npieces, int nfiles, int file_k,
                                    unsigned long long shuffle_seed,
                                    long long* gidx) {
+  constexpr uint64_t kPhi = 0x9E3779B97F4A7C15ULL;
   long long cnt = 0;
   for (int p = 0; p < npieces; p++) {
     const uint64_t seed = piece_seeds[p];
@@ -289,9 +317,10 @@ long long nvtpq_build_window_index(const long long* piece_rows,
     if (nfiles <= 1) {
       for (int64_t r = 0; r < n; r++) gidx[cnt++] = base | r;
     } else {
+      const uint64_t nf = static_cast<uint64_t>(nfiles);
       for (int64_t r = 0; r < n; r++) {
-        if (mix64(seed ^ static_cast<uint64_t>(r)) % static_cast<uint64_t>(nfiles) ==
-            static_cast<uint64_t>(file_k))
+        const uint64_t h = (static_cast<uint64_t>(r) * kPhi) ^ seed;
+        if ((((h >> 32) * nf) >> 32) == static_cast<uint64_t>(file_k))
           gidx[cnt++] = base | r;
       }
     }

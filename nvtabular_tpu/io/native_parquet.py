@@ -393,24 +393,20 @@ def build_window_index(
     return gidx[: int(cnt)]
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """numpy twin of cpp/nvt_parquet.cc mix64 (splitmix64 finalizer) —
-    MUST stay bit-identical (test_native_parquet.py asserts it): a window
-    whose files straddle the native/arrow writers would otherwise drop or
-    duplicate rows."""
-    with np.errstate(over="ignore"):
-        x = x + np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
-
-
 def hash_split(seed: int, n: int, nfiles: int) -> np.ndarray:
     """File assignment (0..nfiles-1) for each of n rows under the streamed
-    shuffle's hash split — the arrow fallback's equivalent of the C++
-    predicate in nvtpq_build_window_index."""
-    r = np.arange(n, dtype=np.uint64) ^ np.uint64(int(seed) & (2**64 - 1))
-    return (_mix64(r) % np.uint64(nfiles)).astype(np.int64)
+    shuffle's hash split — the arrow fallback's numpy twin of the C++
+    predicate in nvtpq_build_window_index (Fibonacci multiply-shift with a
+    32x32 range map). MUST stay bit-identical to the C++ side
+    (test_native_parquet.py asserts it): a window whose files straddle the
+    native/arrow writers would otherwise drop or duplicate rows."""
+    with np.errstate(over="ignore"):
+        h = (
+            np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ np.uint64(int(seed) & (2**64 - 1))
+        return (((h >> np.uint64(32)) * np.uint64(nfiles)) >> np.uint64(32)).astype(
+            np.int64
+        )
 
 
 def pack_gather_index(piece_indices: Sequence[np.ndarray], perm: np.ndarray) -> np.ndarray:

@@ -193,10 +193,10 @@ class _FileWorker:
         Two piece protocols arrive here (never mixed in one window):
           * seeded (streamed PER_WORKER/PER_PARTITION): entries are
             (batch, None, seed) — this file's rows are the hash split
-            mix64(seed ^ row) % nfiles == file_k, and the whole window
-            index (split + Fisher-Yates) is built GIL-FREE in C++
-            (nvtpq_build_window_index); the arrow fallback computes the
-            same split with the numpy mix64 twin.
+            hash_split(seed, row) == file_k (Fibonacci multiply-shift),
+            and the whole window index (split + Fisher-Yates) is built
+            GIL-FREE in C++ (nvtpq_build_window_index); the arrow
+            fallback computes the same split with the numpy twin.
           * explicit (FULL shuffle): entries are (batch, idx, None) with
             idx a random subset in random order from the producer's
             permutation."""

@@ -240,7 +240,7 @@ def test_native_matches_arrow_bytes_semantics(tmp_path):
 
 
 def test_hash_split_twins_bit_identical():
-    """The numpy mix64 twin (arrow fallback) must match the C++ hash split
+    """The numpy hash-split twin (arrow fallback) must match the C++ split
     exactly: a window whose files straddle the native/arrow writers would
     otherwise drop or duplicate rows."""
     from nvtabular_tpu.io.native_parquet import build_window_index, hash_split
