@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -70,12 +71,65 @@ constexpr int64_t kEmpty = INT64_MIN;  // empty-slot sentinel for int keys
 // probes/s per thread on a 128MB table once the mapping is huge-paged
 // (THP is 'madvise' mode on the target hosts). Falls back to the heap
 // when mmap fails.
+//
+// Global span pool: released HugeArray mappings are KEPT MAPPED and
+// reused instead of munmap'd. The target VM's host thin-provisions guest
+// RAM — first-touch of NEW pages throttles to ~100-170MB/s past a ~3.5GB
+// burst, while already-backed pages recycle at full speed — so a fit's
+// table-growth ladder that frees-and-remaps GBs pays seconds of host
+// faulting unless the spans recycle. Reused spans carry stale bytes; the
+// consumers below memset/fill explicitly (sequential writes, ~20GB/s).
+struct SpanPool {
+  std::mutex mu;
+  std::multimap<size_t, void*> spans;  // raw_bytes -> base
+  size_t total = 0;
+
+  static size_t max_bytes() {
+    static const size_t v = [] {
+      const char* e = std::getenv("NVT_SPAN_POOL_MAX");
+      return e ? static_cast<size_t>(std::atoll(e)) : (size_t(4) << 30);
+    }();
+    return v;
+  }
+
+  // a span of at least `need` bytes (and at most 1.5x — bounded waste)
+  void* take(size_t need, size_t* got) {
+    if (!max_bytes()) return nullptr;
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = spans.lower_bound(need);
+    if (it == spans.end() || it->first > need + need / 2) return nullptr;
+    void* p = it->second;
+    *got = it->first;
+    total -= it->first;
+    spans.erase(it);
+    return p;
+  }
+
+  void give(void* p, size_t bytes) {
+    if (max_bytes()) {
+      std::lock_guard<std::mutex> lock(mu);
+      if (total + bytes <= max_bytes()) {
+        spans.emplace(bytes, p);
+        total += bytes;
+        return;
+      }
+    }
+    munmap(p, bytes);
+  }
+};
+
+inline SpanPool& span_pool() {
+  static SpanPool* p = new SpanPool();  // leaked: outlives all arrays
+  return *p;
+}
+
 template <typename T>
 struct HugeArray {
   T* data = nullptr;
   size_t count = 0;
   void* raw = nullptr;
   size_t raw_bytes = 0;  // 0 => heap fallback, free() instead of munmap()
+  bool pooled = false;   // span came from (and returns to) span_pool()
   std::thread pop_thread;  // background MADV_POPULATE_WRITE (see populate_async)
   std::shared_ptr<std::atomic<bool>> pop_cancel;
 
@@ -89,6 +143,7 @@ struct HugeArray {
     std::swap(count, o.count);
     std::swap(raw, o.raw);
     std::swap(raw_bytes, o.raw_bytes);
+    std::swap(pooled, o.pooled);
     pop_thread.swap(o.pop_thread);
     std::swap(pop_cancel, o.pop_cancel);
   }
@@ -138,17 +193,21 @@ struct HugeArray {
     // counter's early doublings would otherwise churn mmap+collapse
     const size_t bytes = n * sizeof(T);
     const size_t span = ((bytes + kAlign - 1) / kAlign) * kAlign;
-    void* p = bytes >= kHugeMin
-                  ? mmap(nullptr, span + kAlign, PROT_READ | PROT_WRITE,
-                         MAP_PRIVATE | MAP_ANONYMOUS, -1, 0)
-                  : MAP_FAILED;
-    if (p == MAP_FAILED) {
+    size_t pooled_bytes = 0;
+    void* p = bytes >= kHugeMin ? span_pool().take(span + kAlign, &pooled_bytes)
+                                : nullptr;
+    pooled = p != nullptr;
+    if (!p && bytes >= kHugeMin)
+      p = mmap(nullptr, span + kAlign, PROT_READ | PROT_WRITE,
+               MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (!p || p == MAP_FAILED) {
       data = static_cast<T*>(std::malloc(bytes));
       raw = data;
       raw_bytes = 0;
+      pooled = false;
     } else {
       raw = p;
-      raw_bytes = span + kAlign;
+      raw_bytes = pooled ? pooled_bytes : span + kAlign;
       uintptr_t a = (reinterpret_cast<uintptr_t>(p) + kAlign - 1) & ~(kAlign - 1);
       data = reinterpret_cast<T*>(a);
       // hint BEFORE first touch: each 2MB fault then compacts
@@ -179,19 +238,26 @@ struct HugeArray {
     constexpr size_t kMmapMin = size_t(1) << 20;
     const size_t bytes = n * sizeof(T);
     const size_t span = ((bytes + kAlign - 1) / kAlign) * kAlign;
-    void* p = bytes >= kMmapMin
-                  ? mmap(nullptr, span + kAlign, PROT_READ | PROT_WRITE,
-                         MAP_PRIVATE | MAP_ANONYMOUS, -1, 0)
-                  : MAP_FAILED;
-    if (p == MAP_FAILED) {
+    size_t pooled_bytes = 0;
+    void* p = bytes >= kMmapMin ? span_pool().take(span + kAlign, &pooled_bytes)
+                                : nullptr;
+    pooled = p != nullptr;
+    if (!p && bytes >= kMmapMin)
+      p = mmap(nullptr, span + kAlign, PROT_READ | PROT_WRITE,
+               MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (!p || p == MAP_FAILED) {
       data = static_cast<T*>(std::calloc(n ? n : 1, sizeof(T)));
       raw = data;
       raw_bytes = 0;
+      pooled = false;
     } else {
       raw = p;
-      raw_bytes = span + kAlign;
+      raw_bytes = pooled ? pooled_bytes : span + kAlign;
       uintptr_t a = (reinterpret_cast<uintptr_t>(p) + kAlign - 1) & ~(kAlign - 1);
       data = reinterpret_cast<T*>(a);
+      // a recycled span carries stale bytes: zero explicitly (sequential,
+      // full-speed) — fresh mappings keep the lazy kernel-zero-page path
+      if (pooled) std::memset(data, 0, bytes);
     }
     count = n;
   }
@@ -200,7 +266,7 @@ struct HugeArray {
     stop_populate();  // join BEFORE unmapping — the thread touches the pages
     if (raw) {
       if (raw_bytes) {
-        munmap(raw, raw_bytes);
+        span_pool().give(raw, raw_bytes);  // keep backed pages mapped
       } else {
         std::free(raw);
       }
@@ -209,6 +275,7 @@ struct HugeArray {
     data = nullptr;
     count = 0;
     raw_bytes = 0;
+    pooled = false;
   }
 
   T& operator[](size_t i) { return data[i]; }
@@ -390,10 +457,93 @@ TablePtr* wrap(TablePtr p) { return new TablePtr(std::move(p)); }
 // per batch). validity may be nullptr; oov_index is used for misses
 // (single-OOV-bucket contract, matching the reference C++ kernel's
 // "only one OOV bucket" restriction, categorify.cc:261-263).
+//
+// Slot-ordered probe pass for LARGE tables: random probes into a table
+// far beyond L2 pay one uncovered memory round-trip each (and random
+// access does not scale across this host's cores — see PCounter32). One
+// counting sort of (slot, row) pairs by the slot's top bits turns the
+// probe stream into an ASCENDING sweep of the table (hardware-prefetched,
+// each ~table/1024 window L1-resident while probed); codes scatter back
+// into the batch-sized `out` (L2-resident). Scratch is thread-local and
+// reused across calls/columns.
+template <typename TIn>
+void encode_ints_i32_sorted(const I32Map& m, const TIn* vals,
+                            const uint8_t* validity, int64_t n,
+                            int32_t null_index, int32_t oov_index,
+                            int32_t offset, int32_t* out) {
+  constexpr int kGroups = 1024;
+  thread_local std::vector<uint32_t> slots_tl;
+  thread_local std::vector<uint32_t> order_slot_tl;
+  thread_local std::vector<int32_t> order_row_tl;
+  slots_tl.resize(n);
+  order_slot_tl.resize(n);
+  order_row_tl.resize(n);
+  uint32_t* slots = slots_tl.data();
+  uint32_t* oslot = order_slot_tl.data();
+  int32_t* orow = order_row_tl.data();
+  int shift = 0;
+  for (uint64_t c = m.mask + 1; c > kGroups; c >>= 1) ++shift;
+  std::vector<int32_t> hist(kGroups + 1, 0);
+  int64_t kept = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (validity && !validity[i]) {
+      out[i] = null_index + offset;
+      continue;
+    }
+    const int64_t v = static_cast<int64_t>(vals[i]);
+    if (sizeof(TIn) > 4 && (v < INT32_MIN || v > INT32_MAX)) {
+      out[i] = oov_index + offset;
+      continue;
+    }
+    const int32_t k = static_cast<int32_t>(v);
+    if (k == I32Map::kEmpty32) {
+      out[i] = (m.has_sentinel_key ? m.sentinel_val : oov_index) + offset;
+      continue;
+    }
+    const uint32_t s = static_cast<uint32_t>(m.slot_of(k));
+    slots[i] = s;
+    ++hist[(s >> shift) + 1];
+    ++kept;
+  }
+  (void)kept;
+  for (int g = 0; g < kGroups; ++g) hist[g + 1] += hist[g];
+  for (int64_t i = 0; i < n; ++i) {
+    if (validity && !validity[i]) continue;
+    const int64_t v = static_cast<int64_t>(vals[i]);
+    if (sizeof(TIn) > 4 && (v < INT32_MIN || v > INT32_MAX)) continue;
+    if (static_cast<int32_t>(v) == I32Map::kEmpty32) continue;
+    const uint32_t s = slots[i];
+    const int32_t pos = hist[s >> shift]++;
+    oslot[pos] = s;
+    orow[pos] = static_cast<int32_t>(i);
+  }
+  const int64_t total = hist[kGroups - 1];  // == kept after the prefix walk
+  for (int64_t j = 0; j < total; ++j) {
+    const int64_t i = orow[j];
+    int32_t code;
+    const bool hit =
+        m.find_from(oslot[j], static_cast<int32_t>(vals[i]), &code);
+    out[i] = (hit ? code : oov_index) + offset;
+  }
+}
+
 template <typename TIn>
 void encode_ints_i32(const I32Map& m, const TIn* vals, const uint8_t* validity,
                      int64_t n, int32_t null_index, int32_t oov_index,
                      int32_t offset, int32_t* out) {
+  // past ~L2-size tables and at batch-size n, the slot-ordered variant's
+  // sequential sweep beats prefetched random probes (A/B: bench/ via
+  // NVT_SORTED_PROBE=0|1; default threshold 8MB)
+  static const int64_t kSortedMin = [] {
+    const char* e = std::getenv("NVT_SORTED_PROBE_MIN_BYTES");
+    return e ? std::atoll(e) : (int64_t(8) << 20);
+  }();
+  if (kSortedMin > 0 && n >= (int64_t(1) << 16) &&
+      static_cast<int64_t>((m.mask + 1) * sizeof(I32Map::Entry)) >= kSortedMin) {
+    encode_ints_i32_sorted(m, vals, validity, n, null_index, oov_index,
+                           offset, out);
+    return;
+  }
   constexpr int64_t kBlock = 16;
   uint64_t slots[kBlock];
   bool in_range[kBlock];

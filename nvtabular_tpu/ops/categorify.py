@@ -171,6 +171,15 @@ class _VocabAccum:
             alpha = min(1.0, math.log(d1 / d0) / math.log(f1 / f0))
             est = d1 * (1.0 / f1) ** alpha
         est = min(est, d1 / f1)  # linear upper bound
+        # never reserve more than 8x the CURRENT distinct count: early
+        # checkpoints of a long stream see near-linear growth and would
+        # otherwise extrapolate (and first-touch) a full-horizon table in
+        # one step — measured 105s of page-zeroing through the VM's
+        # throttled page provisioning on a 32-epoch fit whose vocabulary
+        # actually saturates after epoch 1. Later checkpoints re-extend
+        # the cap as the table genuinely grows; an under-reserve costs one
+        # background-populated rehash.
+        est = min(est, d * float(os.environ.get("NVT_RESERVE_GROWTH_CAP", 8.0)))
         est = min(est, float(os.environ.get("NVT_COUNTER_RESERVE_CAP", 1 << 26)))
         if est > d * 1.2:
             self._counter.reserve(int(est))
