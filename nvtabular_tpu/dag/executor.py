@@ -1014,6 +1014,8 @@ class FitEngine:
                 # the side thread launches before the serial input chains
                 # start; the memo dict stays main-thread-only.
                 def _concurrent_ok(n):
+                    if os.environ.get("NVT_FIT_NODE_OVERLAP", "1") == "0":
+                        return False
                     if id(n) in mesh_plans or id(n) not in states:
                         return False
                     probe = getattr(n.op, "fit_batch_concurrent", None)

@@ -297,6 +297,13 @@ class _VocabAccum:
                 # sorts by (-count, key) — replaces extract + np.lexsort
                 # (measured ~4x faster, pool-parallel across columns)
                 values, counts = self._counter.extract_sorted()
+                # release the counter NOW (not at state-dict GC): its table
+                # spans return to the C++ span pool while sibling columns
+                # are still finalizing, so a following fit (or the pooled
+                # finalize itself) recycles backed pages instead of
+                # first-touching fresh ones through the VM's throttled
+                # page provisioning
+                self._counter = None
                 if self._int_dtype is not None and self._int_dtype != np.dtype(np.int64):
                     info = np.iinfo(self._int_dtype)
                     if len(values) == 0 or (

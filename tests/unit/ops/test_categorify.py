@@ -202,3 +202,38 @@ def test_search_sorted_warns_and_matches():
     np.testing.assert_array_equal(
         np.asarray(out["a"].values), np.asarray(ref["a"].values)
     )
+
+
+def test_multi_epoch_fit_matches_single_epoch():
+    """Fitting a dataset whose partitions repeat N times (bench.py's
+    full-pipeline fit) must produce the same vocabulary as one epoch —
+    same keys, same order (counts scale by N, so the (-count, key) order
+    is invariant). Exercises the partitioned-counter steady state (pure
+    re-hits after epoch 1) and the bounded adaptive reservation."""
+    import nvtabular_tpu as nvt
+    from nvtabular_tpu import ops as nops
+
+    rng = np.random.default_rng(3)
+    parts = [
+        TableBatch.from_pydict(
+            {
+                "big": (rng.pareto(0.7, 60_000) * 3e6).astype(np.int32),
+                "small": rng.integers(0, 50, 60_000).astype(np.int32),
+            }
+        )
+        for _ in range(3)
+    ]
+
+    def fitted_vocabs(dataset):
+        wf = nvt.Workflow(["big", "small"] >> nops.Categorify())
+        wf.fit(dataset)
+        cats = [n.op for n in wf.graph.nodes if isinstance(n.op, nops.Categorify)]
+        return {k: v for c in cats for k, v in c.vocabs.items()}
+
+    single = fitted_vocabs(nvt.Dataset(parts))
+    multi = fitted_vocabs(nvt.Dataset(parts * 5))
+    assert set(single) == set(multi)
+    for k in single:
+        np.testing.assert_array_equal(
+            single[k].values_by_code, multi[k].values_by_code, err_msg=k
+        )
