@@ -990,16 +990,6 @@ class FitEngine:
                 if id(n) not in mesh_plans
             }
             columns = self._phase_columns(nodes)
-            # scan horizon for adaptive accumulator sizing (fit_progress):
-            # cheap for memory/parquet partitions (metadata row counts);
-            # None when the source can't say without loading
-            try:
-                total_rows = int(dataset.num_rows)
-                if shard is not None and shard[1] > 1:
-                    total_rows = max(1, total_rows // shard[1])
-            except Exception:
-                total_rows = None
-            seen_rows = 0
             scan_start = time.perf_counter()
             for batch in dataset.to_batches(columns=columns, shard=shard):
                 memo: Dict[int, TableBatch] = {}
@@ -1055,13 +1045,6 @@ class FitEngine:
                     states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
                 if th is not None:
                     th.join()
-                seen_rows += batch.num_rows
-                if total_rows:
-                    frac = seen_rows / total_rows
-                    for n in nodes:
-                        progress = getattr(n.op, "fit_progress", None)
-                        if progress is not None and id(n) in states:
-                            progress(states[id(n)], frac)
                 if phase_idx == 0:
                     stats["rows_scanned"] += batch.num_rows
             for n in nodes:

@@ -39,7 +39,6 @@ TPU-first implementation differences (the whole point):
 from __future__ import annotations
 
 import logging
-import math
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -127,62 +126,22 @@ class _VocabAccum:
         self._counter = None  # NativeCounter for int keys
         self._use_native: Optional[bool] = None
         self._int_dtype: Optional[np.dtype] = None
-        self._card_hist: List[tuple] = []  # (fraction_seen, distinct) checkpoints
-        # Counter table sizing is ADAPTIVE, not hint-driven: a blanket
-        # reservation from max_size measured 10x SLOWER than a right-sized
-        # table (26 columns x 16M sparse slots = 3.3GB of concurrent page
-        # faults serializing the 4-thread scan at 11M vals/s, vs 113M with
-        # exact-size tables — even 4x over-reserve costs 2.6x). So the
-        # initial table is modest and note_progress() extrapolates the final
-        # cardinality from two scan checkpoints, reserving ONCE to the right
-        # power of two (the C++ side faults the new span in from a
-        # background thread, off the scan's critical path).
+        # Counter table sizing is NOT hint- or extrapolation-driven: both a
+        # blanket reservation from max_size AND the adaptive mid-scan
+        # reserve ladder this replaces measured strictly SLOWER than letting
+        # the counter grow naturally (flat int32 table -> PCounter32 at the
+        # partition threshold). Reservation synchronously rehashes and
+        # first-touches fresh pages through this platform's throttled page
+        # provisioning (~100-170MB/s cold): a 29.3s multi-epoch scan spent
+        # 25s inside reserve() calls, and even discovery-heavy single-pass
+        # fits ran ~2x faster without them. PCounter32's bucketed appends
+        # absorb growth incrementally, so the ladder solves a problem the
+        # partitioned design no longer has. capacity_hint only seeds the
+        # INITIAL table (capped small — see update()).
         self._capacity_hint = min(
             int(capacity_hint or 0),
             int(os.environ.get("NVT_COUNTER_RESERVE_CAP", 1 << 26)),
         )
-
-    def note_progress(self, frac: float) -> None:
-        """Adaptive counter reservation at pow2 scan checkpoints.
-
-        Fits distinct(rows) ~ c * rows^alpha through the last two
-        checkpoints and reserves the extrapolated final cardinality:
-        saturated vocabularies (alpha→0) stay small, near-unique columns
-        (alpha→1) land on their true table size before the bulk of the
-        scan arrives. Wrong-by-2x guesses are cheap in BOTH directions —
-        an under-reserve costs one background-populated rehash, an
-        over-reserve at most doubles the span — unlike the static
-        max_size hint this replaces (see __init__ note)."""
-        if self._counter is None or frac <= 0 or frac >= 0.75:
-            return
-        hist = self._card_hist
-        if hist and frac < hist[-1][0] * 2:
-            return
-        d = self._counter._size()
-        hist.append((frac, d))
-        if len(hist) < 2 or d <= 0:
-            return
-        (f0, d0), (f1, d1) = hist[-2], hist[-1]
-        if d0 <= 0:
-            return
-        if d1 <= d0:
-            est = float(d1)
-        else:
-            alpha = min(1.0, math.log(d1 / d0) / math.log(f1 / f0))
-            est = d1 * (1.0 / f1) ** alpha
-        est = min(est, d1 / f1)  # linear upper bound
-        # never reserve more than 8x the CURRENT distinct count: early
-        # checkpoints of a long stream see near-linear growth and would
-        # otherwise extrapolate (and first-touch) a full-horizon table in
-        # one step — measured 105s of page-zeroing through the VM's
-        # throttled page provisioning on a 32-epoch fit whose vocabulary
-        # actually saturates after epoch 1. Later checkpoints re-extend
-        # the cap as the table genuinely grows; an under-reserve costs one
-        # background-populated rehash.
-        est = min(est, d * float(os.environ.get("NVT_RESERVE_GROWTH_CAP", 8.0)))
-        est = min(est, float(os.environ.get("NVT_COUNTER_RESERVE_CAP", 1 << 26)))
-        if est > d * 1.2:
-            self._counter.reserve(int(est))
 
     @property
     def native(self) -> bool:
@@ -207,9 +166,9 @@ class _VocabAccum:
                 from ..serving.native import NativeCounter
 
                 # initial table capped at 1M slots (8MB): big vocabularies
-                # are grown ONCE by note_progress's extrapolation instead of
-                # reserved blind (see __init__ — blind max_size reservation
-                # measured 10x slower than right-sized tables)
+                # grow through the counter's own ladder (flat int32 ->
+                # PCounter32) instead of being reserved blind (see __init__
+                # — reservation measured strictly slower on this platform)
                 self._counter = NativeCounter(
                     initial_capacity=max(
                         min(self._capacity_hint * 10 // 7, 1 << 20), 1 << 14
@@ -937,13 +896,6 @@ class Categorify(StatOperator):
             accum._use_native is True and not accum.partials
             for accum in state.values()
         )
-
-    def fit_progress(self, state, frac: float) -> None:
-        """Scan-progress callback from the FitEngine (frac of rows seen):
-        lets each vocabulary accumulator right-size its native counter from
-        observed cardinality growth (see _VocabAccum.note_progress)."""
-        for accum in state.values():
-            accum.note_progress(frac)
 
     def fit_merge(self, states):
         out = states[0]
