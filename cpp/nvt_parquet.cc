@@ -110,13 +110,11 @@ struct Writer {
 // gidx entries pack (piece << 48) | row, in DESTINATION order: the shuffle
 // window's permutation is applied here, fused with the encode, instead of
 // a separate landing pass over every column.
+constexpr int64_t kRowMask = (int64_t(1) << 48) - 1;
+
 template <typename T>
-const T* gather(Writer* w, const void* const* srcs, int npieces,
-                const int64_t* gidx, int64_t n) {
-  if (gidx == nullptr && npieces == 1) return static_cast<const T*>(srcs[0]);
-  w->scratch.resize(static_cast<size_t>(n) * sizeof(T));
-  T* dst = reinterpret_cast<T*>(w->scratch.data());
-  constexpr int64_t kRowMask = (int64_t(1) << 48) - 1;
+void gather_into(T* dst, const void* const* srcs, int npieces,
+                 const int64_t* gidx, int64_t n) {
   if (npieces == 1) {
     const T* s = static_cast<const T*>(srcs[0]);
     for (int64_t i = 0; i < n; i++) dst[i] = s[gidx[i] & kRowMask];
@@ -126,7 +124,31 @@ const T* gather(Writer* w, const void* const* srcs, int npieces,
       dst[i] = static_cast<const T*>(srcs[g >> 48])[g & kRowMask];
     }
   }
+}
+
+template <typename T>
+const T* gather(Writer* w, const void* const* srcs, int npieces,
+                const int64_t* gidx, int64_t n) {
+  if (gidx == nullptr && npieces == 1) return static_cast<const T*>(srcs[0]);
+  w->scratch.resize(static_cast<size_t>(n) * sizeof(T));
+  T* dst = reinterpret_cast<T*>(w->scratch.data());
+  gather_into(dst, srcs, npieces, gidx, n);
   return dst;
+}
+
+// PLAIN fused: gather straight into the page body — ONE pass (random load +
+// sequential store) instead of gather-to-scratch + memcpy. The plain float
+// columns are ~1/3 of the Criteo write window; the scratch round trip was
+// half their cost.
+template <typename T>
+void plain_gathered(std::vector<uint8_t>* out, const void* const* srcs,
+                    int npieces, const int64_t* gidx, int64_t n) {
+  out->resize(static_cast<size_t>(n) * sizeof(T));
+  T* dst = reinterpret_cast<T*>(out->data());
+  if (gidx == nullptr && npieces == 1)
+    std::memcpy(dst, srcs[0], static_cast<size_t>(n) * sizeof(T));
+  else
+    gather_into(dst, srcs, npieces, gidx, n);
 }
 
 // ------------------------------------------------------- DELTA_BINARY_PACKED
@@ -210,8 +232,12 @@ inline void bitpack(std::vector<uint8_t>* out, const uint64_t* vals, int count,
   }
 }
 
-template <typename T>
-void delta_pack(std::vector<uint8_t>* out, const T* v, int64_t n) {
+// Src is any indexable value source: a raw `const T*` (sequential reads) or
+// a GatherSrc (the shuffle window's fused random gather — one random load
+// per value, block-buffered below so no value is loaded twice and no scratch
+// column is materialized).
+template <typename T, typename Src>
+void delta_pack_src(std::vector<uint8_t>* out, Src v, int64_t n) {
   using UT = typename std::make_unsigned<T>::type;
   using ST = typename std::make_signed<T>::type;
   put_uleb(out, kBlock);
@@ -221,23 +247,27 @@ void delta_pack(std::vector<uint8_t>* out, const T* v, int64_t n) {
     put_zz(out, 0);
     return;
   }
-  put_zz(out, static_cast<int64_t>(v[0]));
+  T prev = v[0];
+  put_zz(out, static_cast<int64_t>(prev));
   int64_t ndeltas = n - 1;
   int64_t pos = 0;
   uint64_t deltas[kBlock];
+  T cur[kBlock];
   while (pos < ndeltas) {
     int count = static_cast<int>(ndeltas - pos < kBlock ? ndeltas - pos : kBlock);
+    for (int i = 0; i < count; i++) cur[i] = v[pos + i + 1];
     // deltas wrap within the COLUMN's width (spec: two's-complement
     // wraparound) so adjusted deltas fit bit_width(T) — an int32 page with
     // 33-bit deltas is rejected by readers
     ST mind = std::numeric_limits<ST>::max();
     UT udeltas[kBlock];
     for (int i = 0; i < count; i++) {
-      UT du = static_cast<UT>(v[pos + i + 1]) - static_cast<UT>(v[pos + i]);
+      UT du = static_cast<UT>(cur[i]) - static_cast<UT>(i ? cur[i - 1] : prev);
       udeltas[i] = du;
       ST d = static_cast<ST>(du);
       if (d < mind) mind = d;
     }
+    prev = cur[count - 1];
     put_zz(out, static_cast<int64_t>(mind));
     for (int i = 0; i < count; i++)
       deltas[i] = static_cast<uint64_t>(
@@ -259,6 +289,27 @@ void delta_pack(std::vector<uint8_t>* out, const T* v, int64_t n) {
       bitpack(out, deltas + m * kMini, kMini, widths[m]);
     pos += count;
   }
+}
+
+template <typename T>
+struct GatherSrc {
+  const void* const* srcs;
+  int npieces;
+  const int64_t* gidx;
+  inline T operator[](int64_t i) const {
+    int64_t g = gidx[i];
+    const void* s = npieces == 1 ? srcs[0] : srcs[g >> 48];
+    return static_cast<const T*>(s)[g & kRowMask];
+  }
+};
+
+template <typename T>
+void delta_pack_gathered(std::vector<uint8_t>* out, const void* const* srcs,
+                         int npieces, const int64_t* gidx, int64_t n) {
+  if (gidx == nullptr && npieces == 1)
+    delta_pack_src<T, const T*>(out, static_cast<const T*>(srcs[0]), n);
+  else
+    delta_pack_src<T, GatherSrc<T>>(out, GatherSrc<T>{srcs, npieces, gidx}, n);
 }
 
 // ------------------------------------------------------ BYTE_STREAM_SPLIT
@@ -368,9 +419,9 @@ int nvtpq_write_column(void* h, const void* const* srcs, int npieces,
   switch (encoding) {
     case kEncDelta: {
       if (dtype == 0)
-        delta_pack(&w->enc, gather<int32_t>(w, srcs, npieces, gi, n), n);
+        delta_pack_gathered<int32_t>(&w->enc, srcs, npieces, gi, n);
       else if (dtype == 1)
-        delta_pack(&w->enc, gather<int64_t>(w, srcs, npieces, gi, n), n);
+        delta_pack_gathered<int64_t>(&w->enc, srcs, npieces, gi, n);
       else
         return 2;
       break;
@@ -391,15 +442,10 @@ int nvtpq_write_column(void* h, const void* const* srcs, int npieces,
       break;
     }
     case kEncPlain: {
-      int width = (dtype == 0 || dtype == 2) ? 4 : 8;
-      size_t bytes = static_cast<size_t>(n) * width;
-      w->enc.resize(bytes);
-      if (width == 4)
-        std::memcpy(w->enc.data(), gather<int32_t>(w, srcs, npieces, gi, n),
-                    bytes);
+      if (dtype == 0 || dtype == 2)
+        plain_gathered<int32_t>(&w->enc, srcs, npieces, gi, n);
       else
-        std::memcpy(w->enc.data(), gather<int64_t>(w, srcs, npieces, gi, n),
-                    bytes);
+        plain_gathered<int64_t>(&w->enc, srcs, npieces, gi, n);
       break;
     }
     default:

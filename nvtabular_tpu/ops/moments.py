@@ -34,6 +34,28 @@ class ColumnMoments:
 
     def update_batch(self, col: Column):
         vals = col.values
+        # fast path: flat numpy numeric column through ONE fused C++ pass
+        # (GIL-releasing; NaN-as-null matches is_null()); ~10x the numpy
+        # multi-pass formulation below, which remains for jax-backed /
+        # list / bool / object columns
+        if not col.is_list and isinstance(vals, np.ndarray) and vals.dtype.kind in "fi":
+            from ..serving.native import moments_pass
+
+            validity = (
+                None if col.validity is None else np.asarray(col.validity)
+            )
+            stats = moments_pass(vals, validity)
+            if stats is not None:
+                cnt, s, ss, mn, mx, nulls_n = (float(x) for x in stats)
+                if cnt > 0:
+                    self.min = min(self.min, mn)
+                    self.max = max(self.max, mx)
+                self.count += cnt
+                self.sum += s
+                self.sumsq += ss
+                self.null_count += nulls_n
+                self.total_rows += len(col)
+                return
         m = xnp(vals)
         nulls = col.is_null()
         n_rows = len(col)

@@ -104,6 +104,11 @@ def _configure(lib: ctypes.CDLL) -> None:
     ]
     lib.nvt_fill_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float]
     lib.nvt_fill_f64.argtypes = [ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.nvt_moments_f32.argtypes = [ctypes.POINTER(ctypes.c_float), u8p, ctypes.c_int64, f64p]
+    lib.nvt_moments_f64.argtypes = [f64p, u8p, ctypes.c_int64, f64p]
+    lib.nvt_moments_i32.argtypes = [i32p, u8p, ctypes.c_int64, f64p]
+    lib.nvt_moments_i64.argtypes = [i64p, u8p, ctypes.c_int64, f64p]
     lib.nvt_cache_size.restype = ctypes.c_int64
     lib.nvt_counter_create.restype = ctypes.c_void_p
     lib.nvt_counter_create.argtypes = [ctypes.c_int64]
@@ -863,5 +868,43 @@ def cont_pipe(
         int(bool(log1p)),
         int(div is not None), float(sub if sub is not None else 0.0),
         float(div if div is not None else 1.0),
+    )
+    return out
+
+
+_MOMENTS_FNS = {
+    "f4": ("nvt_moments_f32", ctypes.c_float),
+    "f8": ("nvt_moments_f64", ctypes.c_double),
+    "i4": ("nvt_moments_i32", ctypes.c_int32),
+    "i8": ("nvt_moments_i64", ctypes.c_int64),
+}
+
+
+def moments_pass(values: "np.ndarray", validity: Optional["np.ndarray"]):
+    """ONE fused, GIL-releasing pass computing a flat numeric column's
+    streaming-moments contribution: (count, sum, sumsq, min, max, nulls),
+    NaN treated as null (Column.is_null semantics), float64 accumulation.
+    Returns None when the dtype has no native kernel (caller falls back to
+    the numpy formulation). Replaces ~10 numpy passes + float64 temps per
+    column per batch in the fit scan (see cpp nvt_moments_*)."""
+    spec = _MOMENTS_FNS.get(f"{values.dtype.kind}{values.dtype.itemsize}")
+    if spec is None:
+        return None
+    try:
+        lib = _build_and_load()
+    except RuntimeError:
+        return None
+    name, ctype = spec
+    arr = np.ascontiguousarray(values)
+    out = np.empty(6, dtype=np.float64)
+    vptr = None
+    if validity is not None:
+        v = np.ascontiguousarray(validity, dtype=np.uint8)
+        vptr = v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    getattr(lib, name)(
+        arr.ctypes.data_as(ctypes.POINTER(ctype)),
+        vptr,
+        arr.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out

@@ -337,3 +337,47 @@ def test_partitioned_counter_matches_flat():
 
     p2 = pickle.loads(pickle.dumps(part))
     np.testing.assert_array_equal(p2.extract_sorted()[0], kp)
+
+
+def test_moments_pass_matches_numpy_formulation():
+    """The fused C++ moments kernel must match the numpy multi-pass
+    formulation bit-for-bit in count/null semantics (NaN-as-null) and to
+    float64 tolerance in the accumulations, across dtypes / validity /
+    degenerate inputs."""
+    import nvtabular_tpu.serving.native as nat
+    from nvtabular_tpu.ops.moments import ColumnMoments
+    from nvtabular_tpu.table import Column
+
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=40001).astype(np.float32)
+    f[rng.random(f.size) < 0.07] = np.nan
+    cases = [
+        Column(f),
+        Column(f.copy(), None, rng.random(f.size) > 0.1),
+        Column(rng.integers(-(10**12), 10**12, 20000)),
+        Column(
+            rng.integers(-100, 100, 20000).astype(np.int32),
+            None,
+            rng.random(20000) > 0.3,
+        ),
+        Column(rng.normal(size=5000)),
+        Column(np.array([], dtype=np.float32)),
+        Column(np.full(64, np.nan, dtype=np.float32)),
+    ]
+    for col in cases:
+        fast = ColumnMoments()
+        fast.update_batch(col)
+        slow = ColumnMoments()
+        orig = nat.moments_pass
+        nat.moments_pass = lambda *a, **k: None  # force the numpy path
+        try:
+            slow.update_batch(col)
+        finally:
+            nat.moments_pass = orig
+        assert fast.count == slow.count
+        assert fast.null_count == slow.null_count
+        assert fast.total_rows == slow.total_rows
+        np.testing.assert_allclose(fast.sum, slow.sum, rtol=1e-9)
+        np.testing.assert_allclose(fast.sumsq, slow.sumsq, rtol=1e-9)
+        assert fast.min == slow.min or np.isclose(fast.min, slow.min)
+        assert fast.max == slow.max or np.isclose(fast.max, slow.max)
