@@ -34,6 +34,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent
 
 
+def _tune_malloc():
+    """Keep freed large blocks in the glibc arena instead of munmapping.
+
+    numpy routes big allocations through malloc, whose default mmap
+    threshold (128KB) munmaps every freed batch buffer — on hosts that
+    thin-provision guest RAM (docs/performance.md), the NEXT batch then
+    re-faults those pages at the throttled provisioning rate. Raising the
+    mmap/trim thresholds makes batch-sized temporaries recycle
+    already-backed arena pages: measured ~10% on the transform->write
+    stream with far fewer slow-pass outliers on a degraded machine.
+    Process-local and benchmark-scoped (the bench process exits after one
+    run); NVT_BENCH_MALLOC_TUNE=0 opts out."""
+    if os.environ.get("NVT_BENCH_MALLOC_TUNE", "1") == "0":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
+
 def _enable_compile_cache():
     """The axon remote-compile service takes 100-600 s for a cold compile;
     the persistent cache makes repeat benchmark runs start in seconds."""

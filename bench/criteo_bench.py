@@ -26,6 +26,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench as _headline_bench  # noqa: E402
+
+_headline_bench._tune_malloc()  # arena recycling for batch temporaries (see bench.py)
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Criteo-like phased benchmark")
