@@ -124,6 +124,11 @@ class _Stream:
     def to_batches(self, **kw):
         return iter(self._b)
 
+    def to_table(self):
+        from nvtabular_tpu.table import concat_rows
+
+        return concat_rows(self._b)
+
 
 def _read_sorted(path):
     import pyarrow.dataset as pads
@@ -276,3 +281,66 @@ def test_seeded_stream_preserves_rows_across_native_and_arrow(tmp_path):
         assert t.num_rows == 5 * 20_000
         ref = np.sort(np.concatenate([np.asarray(b["i64"].values) for b in batches]))
         np.testing.assert_array_equal(np.sort(t["i64"].to_numpy()), ref)
+
+
+@pytest.mark.parametrize("shuffle", [None, "per_worker", "per_partition", "full"])
+def test_write_dataset_fused_transform_matches_two_phase(tmp_path, shuffle):
+    """write_dataset(transform=) fuses a row-wise transform into the file
+    workers; with the same seed it must produce exactly the rows the
+    two-phase form (transform on the producer, then write) produces."""
+    rng = np.random.default_rng(5)
+    batches = _batches(4, 60_000, rng)
+
+    def tf(tb):
+        out = TableBatch()
+        out["i32x"] = Column(np.asarray(tb["i32"].values) * 2 + 1)
+        out["f32l"] = Column(np.log1p(np.abs(np.asarray(tb["f32"].values))))
+        return out
+
+    sh = check_shuffle_arg(shuffle) if shuffle else None
+    fused_dir, two_dir = str(tmp_path / "fused"), str(tmp_path / "two")
+    write_dataset(_Stream(batches), fused_dir, shuffle=sh, out_files=3,
+                  transform=tf, seed=7)
+    write_dataset(_Stream([tf(b) for b in batches]), two_dir, shuffle=sh,
+                  out_files=3, seed=7)
+    a, b = _read_sorted(fused_dir), _read_sorted(two_dir)
+    assert a.num_rows == b.num_rows == 4 * 60_000
+    for col in ("i32x", "f32l"):
+        np.testing.assert_array_equal(
+            np.sort(a[col].to_numpy()), np.sort(b[col].to_numpy())
+        )
+    # row pairing preserved (the transform moved with its row): join check
+    ai = a.to_pandas().sort_values(["i32x", "f32l"]).reset_index(drop=True)
+    bi = b.to_pandas().sort_values(["i32x", "f32l"]).reset_index(drop=True)
+    assert ai.equals(bi)
+
+
+def test_write_dataset_fused_transform_list_fallback(tmp_path):
+    """Batches with validity fall back to the take/concat shard path and
+    still transform-and-write the exact row multiset."""
+    rng = np.random.default_rng(6)
+    batches = _batches(3, 30_000, rng, with_validity=True, all_true=False)
+
+    def tf(tb):
+        out = TableBatch()
+        v = np.asarray(tb["i64"].values).copy()
+        validity = tb["i64"].validity
+        if validity is not None:
+            v[~np.asarray(validity)] = -1
+        out["clean"] = Column(v)
+        return out
+
+    out_dir = str(tmp_path / "o")
+    write_dataset(_Stream(batches), out_dir,
+                  shuffle=check_shuffle_arg("per_worker"), out_files=2,
+                  transform=tf)
+    tab = _read_sorted(out_dir)
+    assert tab.num_rows == 3 * 30_000
+    exp = []
+    for b in batches:
+        v = np.asarray(b["i64"].values).copy()
+        v[~np.asarray(b["i64"].validity)] = -1
+        exp.append(v)
+    np.testing.assert_array_equal(
+        np.sort(tab["clean"].to_numpy()), np.sort(np.concatenate(exp))
+    )
