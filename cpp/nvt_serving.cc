@@ -1582,6 +1582,50 @@ struct PCounter32 {
   }
 };
 
+// LSD radix sort (16-bit digits, 4 passes — even, so the result lands back
+// in the input buffer). Multi-million-entry vocabulary extracts spent ~2.5s
+// in std::sort's comparison-driven branches; four sequential counting
+// passes are memory-bound instead (~5x).
+void radix_sort_u64(std::vector<uint64_t>& a) {
+  const size_t n = a.size();
+  if (n < (1 << 14)) {
+    std::sort(a.begin(), a.end());
+    return;
+  }
+  std::vector<uint64_t> tmp(n);
+  uint64_t* src = a.data();
+  uint64_t* dst = tmp.data();
+  std::vector<uint32_t> hist(65537);
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 16;
+    std::fill(hist.begin(), hist.end(), 0u);
+    for (size_t i = 0; i < n; ++i) ++hist[((src[i] >> shift) & 0xffff) + 1];
+    for (int g = 0; g < 65536; ++g) hist[g + 1] += hist[g];
+    for (size_t i = 0; i < n; ++i)
+      dst[hist[(src[i] >> shift) & 0xffff]++] = src[i];
+    std::swap(src, dst);
+  }
+}
+
+// Vocabulary order (count DESC, key ASC) for 32-bit counter entries as ONE
+// ascending u64 sort: code = (~cnt) << 32 | (key ^ sign-flip). cnt < 2^31
+// is guaranteed (kCntCap promotes to the 64-bit counter first).
+inline uint64_t vocab_code32(int32_t key, uint32_t cnt) {
+  return (static_cast<uint64_t>(~cnt) << 32) |
+         (static_cast<uint32_t>(key) ^ 0x80000000u);
+}
+
+void emit_sorted_codes32(std::vector<uint64_t>& codes, int64_t* keys_out,
+                         int64_t* counts_out) {
+  radix_sort_u64(codes);
+  for (size_t i = 0; i < codes.size(); ++i) {
+    const uint64_t code = codes[i];
+    counts_out[i] = static_cast<int64_t>(~static_cast<uint32_t>(code >> 32));
+    keys_out[i] = static_cast<int64_t>(static_cast<int32_t>(
+        static_cast<uint32_t>(code) ^ 0x80000000u));
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1634,22 +1678,15 @@ void nvt_pcounter_extract_sorted(void* h, int64_t* keys_out,
                                  int64_t* counts_out) {
   PCounter32& c = *static_cast<PCounter32*>(h);
   c.flush();
-  std::vector<Counter32::Entry> items;
-  items.reserve(c.size_flushed());
+  std::vector<uint64_t> codes;
+  codes.reserve(c.size_flushed());
   for (auto& t : c.tables) {
     if (!t) continue;
     for (size_t i = 0; i <= t->mask; ++i)
-      if (t->entries[i].cnt != 0) items.push_back(t->entries[i]);
+      if (t->entries[i].cnt != 0)
+        codes.push_back(vocab_code32(t->entries[i].key, t->entries[i].cnt));
   }
-  std::sort(items.begin(), items.end(),
-            [](const Counter32::Entry& a, const Counter32::Entry& b) {
-              if (a.cnt != b.cnt) return a.cnt > b.cnt;
-              return a.key < b.key;
-            });
-  for (size_t i = 0; i < items.size(); ++i) {
-    keys_out[i] = items[i].key;
-    counts_out[i] = items[i].cnt;
-  }
+  emit_sorted_codes32(codes, keys_out, counts_out);
 }
 
 // migrate a flat 32-bit counter's contents into the partitioned one
@@ -1722,20 +1759,12 @@ void nvt_counter32_extract(void* h, int64_t* keys_out, int64_t* counts_out) {
 
 void nvt_counter32_extract_sorted(void* h, int64_t* keys_out, int64_t* counts_out) {
   Counter32& c = *static_cast<Counter32*>(h);
-  std::vector<Counter32::Entry> items;
-  items.reserve(c.used);
-  for (size_t i = 0; i <= c.mask; ++i) {
-    if (c.entries[i].cnt != 0) items.push_back(c.entries[i]);
-  }
-  std::sort(items.begin(), items.end(),
-            [](const Counter32::Entry& a, const Counter32::Entry& b) {
-              if (a.cnt != b.cnt) return a.cnt > b.cnt;
-              return a.key < b.key;
-            });
-  for (size_t i = 0; i < items.size(); ++i) {
-    keys_out[i] = items[i].key;
-    counts_out[i] = items[i].cnt;
-  }
+  std::vector<uint64_t> codes;
+  codes.reserve(c.used);
+  for (size_t i = 0; i <= c.mask; ++i)
+    if (c.entries[i].cnt != 0)
+      codes.push_back(vocab_code32(c.entries[i].key, c.entries[i].cnt));
+  emit_sorted_codes32(codes, keys_out, counts_out);
 }
 
 // migrate every (key, count) of the 32-bit counter into the 64-bit one
