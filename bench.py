@@ -295,11 +295,11 @@ def main():
     import shutil
     import tempfile
 
-    # 32 epochs ≈ 134M rows against 22.3M fitted keys (row/key ratio 6 —
-    # still 30x below the real Criteo-TB ratio of ~196, so this AMORTIZES
-    # LESS than the dataset the baseline measured); raised from 8 once the
-    # VM's 126G tmpfs/page cache was confirmed to absorb the output
-    stream_epochs = int(os.environ.get("NVT_BENCH_E2E_EPOCHS", 32))
+    # 64 epochs ≈ 268M rows against 22.3M fitted keys (row/key ratio 12 —
+    # still 16x below the real Criteo-TB ratio of ~196, so this AMORTIZES
+    # the fixed fit cost LESS than the dataset the baseline measured);
+    # output stays bounded via chunked recycling regardless of epochs
+    stream_epochs = int(os.environ.get("NVT_BENCH_E2E_EPOCHS", 64))
     # one writer thread per core: the shuffled write is CPU-bound on the
     # parquet encode (measured 2.87M rows/s at 4 files vs 2.18M at 8 on a
     # 4-core host; tmpfs A/B shows the disk is NOT the wall until ~120MB/s)
