@@ -26,7 +26,23 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench as _headline_bench  # noqa: E402
+
+def _load_headline_bench():
+    """Load the repo-root bench.py explicitly: a bare ``import bench`` only
+    resolves to it while the bench/ directory stays __init__-less — under
+    ``python -m bench.criteo_bench`` the namespace package wins instead."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    spec = importlib.util.spec_from_file_location("_nvt_headline_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_headline_bench = _load_headline_bench()
 
 _headline_bench._tune_malloc()  # arena recycling for batch temporaries (see bench.py)
 

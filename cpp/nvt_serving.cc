@@ -1595,7 +1595,8 @@ void radix_sort_u64(std::vector<uint64_t>& a) {
   std::vector<uint64_t> tmp(n);
   uint64_t* src = a.data();
   uint64_t* dst = tmp.data();
-  std::vector<uint32_t> hist(65537);
+  // 64-bit counts: a 2^32-entry extract would overflow uint32 histograms
+  std::vector<uint64_t> hist(65537);
   for (int pass = 0; pass < 4; ++pass) {
     const int shift = pass * 16;
     std::fill(hist.begin(), hist.end(), 0u);

@@ -32,7 +32,15 @@ from .shuffle import Shuffle
 _SENTINEL = object()
 
 _NATIVE_DTYPES = {"int32", "int64", "float32", "float64"}
-_NATIVE_DTYPE_NUMS = frozenset(np.dtype(n).num for n in _NATIVE_DTYPES)
+# include the C-alias dtypes (np.intc/np.longlong and unsigned-free friends)
+# whose type NUM differs from the canonical int32/int64 even though the name
+# matches — a window mixing 'l' and 'q' int64 arrays must not trip the
+# mid-stream schema check
+_NATIVE_DTYPE_NUMS = frozenset(
+    np.dtype(t).num
+    for t in (np.int32, np.int64, np.float32, np.float64, np.intc, np.longlong)
+    if np.dtype(t).name in _NATIVE_DTYPES
+)
 
 
 def _native_plan(compression):
@@ -306,6 +314,13 @@ class _FileWorker:
             and b[nm].validity is None
             and isinstance(b[nm].values, np.ndarray)
             for b in batches
+            for nm in names
+        ) and all(
+            # one dtype per column across the window: gather_multi would
+            # decline a mixed window and the numpy fallback would silently
+            # cast (e.g. truncate int64 into int32); the take/concat path
+            # below applies concat_rows' promotion rules instead
+            len({np.asarray(b[nm].values).dtype for b in batches}) == 1
             for nm in names
         )
         if flat:
