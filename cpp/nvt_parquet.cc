@@ -106,9 +106,45 @@ struct Writer {
   FILE* f = nullptr;
   int64_t offset = 0;
   std::vector<uint8_t> scratch;   // gathered column values
+  std::vector<uint8_t> scratch2;  // fused-op outputs (codes / piped floats)
   std::vector<uint8_t> enc;       // encoded page body
   std::vector<uint8_t> comp;      // compressed page body
 };
+
+// --------------------------------------------------------------- fused ops
+// Per-column transform applied between the shuffle gather and the page
+// encode (the write_dataset fused stream: raw batches reach the file
+// workers, which gather their shard and transform it IN the encode pass —
+// the execution shape of the reference's lazy to_parquet, where dask
+// materializes the workflow transform inside the write task, reference
+// nvtabular/workflow/workflow.py:239-248). The transform itself is the
+// SERVING library's kernels (nvt_cat_encode_* / nvt_cont_pipe_*), invoked
+// through function pointers resolved by ctypes at spec-build time, so the
+// fused stream's output is bit-identical to the two-phase host transform.
+struct NvtpqOp {  // POD — layout mirrored by ctypes in io/native_parquet.py
+  int32_t kind;      // 0=none, 1=cat probe, 2=cont pipe
+  int32_t in_dtype;  // raw source dtype: 0=int32 1=int64 2=float32 3=float64
+  const void* fn;    // serving symbol (cat encode / cont pipe) address
+  void* table;       // cat table handle (kind 1)
+  int32_t null_index;
+  int32_t oov_index;
+  int32_t offset;
+  int32_t has_fill;
+  double fill, lo, hi, sub, div;  // cont stage params (kind 2)
+  int32_t has_lo, has_hi, do_log, has_norm;
+};
+
+typedef void (*CatEncodeI32Fn)(void*, const int32_t*, const uint8_t*, int64_t,
+                               int32_t, int32_t, int32_t, int32_t*);
+typedef void (*CatEncodeI64Fn)(void*, const int64_t*, const uint8_t*, int64_t,
+                               int32_t, int32_t, int32_t, int32_t*);
+typedef void (*ContPipeF32Fn)(const float*, float*, int64_t, int, float, int,
+                              float, int, float, int, int, float, float);
+typedef void (*ContPipeF64Fn)(const double*, double*, int64_t, int, double,
+                              int, double, int, double, int, int, double,
+                              double);
+
+inline int dtype_size(int dtype) { return (dtype == 0 || dtype == 2) ? 4 : 8; }
 
 // ------------------------------------------------------------- gathering
 // gidx entries pack (piece << 48) | row, in DESTINATION order: the shuffle
@@ -411,6 +447,65 @@ void byte_stream_split(std::vector<uint8_t>* out, const uint8_t* v, int64_t n) {
   }
 }
 
+// Gather the raw shard and run the fused op over it (see NvtpqOp above).
+// Leaves the op output in w->scratch2 (int32 codes for kind 1; piped floats
+// for kind 2), which the caller then encodes as a single raw piece.
+// Shard-sized scratch stays L2-resident between the gather, the op, and the
+// encode passes.
+int apply_fused_op(Writer* w, const NvtpqOp* op, const void* const* srcs,
+                   int npieces, const int64_t* gidx, int64_t n) {
+  const int in_sz = dtype_size(op->in_dtype);
+  w->scratch.resize(static_cast<size_t>(n) * in_sz);
+  if (gidx == nullptr && npieces == 1) {
+    std::memcpy(w->scratch.data(), srcs[0], static_cast<size_t>(n) * in_sz);
+  } else if (in_sz == 4) {
+    gather_into(reinterpret_cast<int32_t*>(w->scratch.data()), srcs, npieces,
+                gidx, n);
+  } else {
+    gather_into(reinterpret_cast<int64_t*>(w->scratch.data()), srcs, npieces,
+                gidx, n);
+  }
+  switch (op->kind) {
+    case 1: {  // cat probe -> int32 codes
+      w->scratch2.resize(static_cast<size_t>(n) * 4);
+      int32_t* out = reinterpret_cast<int32_t*>(w->scratch2.data());
+      if (op->in_dtype == 0) {
+        reinterpret_cast<CatEncodeI32Fn>(const_cast<void*>(op->fn))(
+            op->table, reinterpret_cast<const int32_t*>(w->scratch.data()),
+            nullptr, n, op->null_index, op->oov_index, op->offset, out);
+      } else if (op->in_dtype == 1) {
+        reinterpret_cast<CatEncodeI64Fn>(const_cast<void*>(op->fn))(
+            op->table, reinterpret_cast<const int64_t*>(w->scratch.data()),
+            nullptr, n, op->null_index, op->oov_index, op->offset, out);
+      } else {
+        return 5;
+      }
+      return 0;
+    }
+    case 2: {  // cont pipe, in place over the gathered shard
+      w->scratch2.swap(w->scratch);
+      if (op->in_dtype == 2) {
+        float* v = reinterpret_cast<float*>(w->scratch2.data());
+        reinterpret_cast<ContPipeF32Fn>(const_cast<void*>(op->fn))(
+            v, v, n, op->has_fill, static_cast<float>(op->fill), op->has_lo,
+            static_cast<float>(op->lo), op->has_hi,
+            static_cast<float>(op->hi), op->do_log, op->has_norm,
+            static_cast<float>(op->sub), static_cast<float>(op->div));
+      } else if (op->in_dtype == 3) {
+        double* v = reinterpret_cast<double*>(w->scratch2.data());
+        reinterpret_cast<ContPipeF64Fn>(const_cast<void*>(op->fn))(
+            v, v, n, op->has_fill, op->fill, op->has_lo, op->lo, op->has_hi,
+            op->hi, op->do_log, op->has_norm, op->sub, op->div);
+      } else {
+        return 5;
+      }
+      return 0;
+    }
+    default:
+      return 5;
+  }
+}
+
 // ------------------------------------------------------------- shuffle split
 // splitmix64 finalizer — shared with nvtabular_tpu/io/native_parquet.py's
 // numpy twin (hash_split); the two MUST stay bit-identical or a window whose
@@ -494,13 +589,11 @@ long long nvtpq_tell(void* h) { return static_cast<Writer*>(h)->offset; }
 // codec: kCodecUncompressed / kCodecZstd (level applies)
 // out_meta: [page_offset, total_compressed_size, total_uncompressed_size,
 //            header_bytes]
-int nvtpq_write_column(void* h, const void* const* srcs, int npieces,
-                       const long long* gidx, long long n, int dtype,
-                       int encoding, int codec, int level,
-                       long long* out_meta) {
-  Writer* w = static_cast<Writer*>(h);
+static int write_column_impl(Writer* w, const void* const* srcs, int npieces,
+                             const int64_t* gi, long long n, int dtype,
+                             int encoding, int codec, int level,
+                             long long* out_meta) {
   w->enc.clear();
-  const int64_t* gi = reinterpret_cast<const int64_t*>(gidx);
 
   switch (encoding) {
     case kEncDelta: {
@@ -570,6 +663,36 @@ int nvtpq_write_column(void* h, const void* const* srcs, int npieces,
   out_meta[2] = static_cast<int64_t>(t.buf.size()) + uncomp;
   out_meta[3] = static_cast<int64_t>(t.buf.size());
   return 0;
+}
+
+int nvtpq_write_column(void* h, const void* const* srcs, int npieces,
+                       const long long* gidx, long long n, int dtype,
+                       int encoding, int codec, int level,
+                       long long* out_meta) {
+  return write_column_impl(static_cast<Writer*>(h), srcs, npieces,
+                           reinterpret_cast<const int64_t*>(gidx), n, dtype,
+                           encoding, codec, level, out_meta);
+}
+
+// Fused variant: gather the RAW shard, apply `op` (cat probe / cont pipe via
+// the serving library's kernels — see NvtpqOp), then encode the op's output
+// as this column's page. `dtype` is the OUTPUT dtype (int32 codes for cat;
+// the pipe dtype for cont). op == NULL or kind 0 degrades to the plain path.
+int nvtpq_write_column_op(void* h, const void* const* srcs, int npieces,
+                          const long long* gidx, long long n, int dtype,
+                          int encoding, int codec, int level,
+                          const void* op_ptr, long long* out_meta) {
+  Writer* w = static_cast<Writer*>(h);
+  const NvtpqOp* op = static_cast<const NvtpqOp*>(op_ptr);
+  const int64_t* gi = reinterpret_cast<const int64_t*>(gidx);
+  if (op == nullptr || op->kind == 0)
+    return write_column_impl(w, srcs, npieces, gi, n, dtype, encoding, codec,
+                             level, out_meta);
+  int rc = apply_fused_op(w, op, srcs, npieces, gi, n);
+  if (rc != 0) return rc;
+  const void* one[1] = {w->scratch2.data()};
+  return write_column_impl(w, one, 1, nullptr, n, dtype, encoding, codec,
+                           level, out_meta);
 }
 
 int nvtpq_close(void* h) {

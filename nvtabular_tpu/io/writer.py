@@ -100,7 +100,7 @@ class _FileWorker:
     """Single-writer thread for one output parquet file."""
 
     def __init__(self, path: str, compression, row_group_size, buffer_pieces: int, queue_depth: int, seed: int = 0,
-                 file_k: int = 0, nfiles: int = 1, transform=None):
+                 file_k: int = 0, nfiles: int = 1, transform=None, fused_spec=None):
         self.path = path
         self.compression = compression
         self.row_group_size = row_group_size
@@ -108,6 +108,7 @@ class _FileWorker:
         self.file_k = file_k
         self.nfiles = nfiles
         self.transform = transform
+        self.fused_spec = fused_spec  # io.stream_fuse.FusedStreamSpec
         self.q: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self.writer = None
         self.native = None  # NativeParquetFile when the fast path engages
@@ -216,6 +217,10 @@ class _FileWorker:
             idx a random subset in random order from the producer's
             permutation."""
         if buf and buf[0][2] is not None:
+            if self.fused_spec is not None:
+                # fused native stream first; _flush_seeded degrades any
+                # non-conforming window to the transform fallback itself
+                return self._flush_seeded(buf)
             if self.transform is not None:
                 return self._flush_seeded_transform(buf)
             return self._flush_seeded(buf)
@@ -376,20 +381,109 @@ class _FileWorker:
         if n == 0:
             return
         if self._use_native([out], n):
+            # order by the FILE schema (not the batch): with a fused_spec
+            # the file was opened on the spec's column order, which the
+            # fallback transform's output order must not silently override
             self.native.write_row_group(
-                [[np.asarray(out[nm].values)] for nm in out.column_names], None, n
+                [[np.asarray(out[nm].values)] for nm, _ in self.native.schema],
+                None,
+                n,
             )
         else:
             self._write(out.to_arrow())
+
+    def _window_fused_ok(self, batches) -> bool:
+        """True when every spec source column of every batch in the window
+        can feed the fused native path: flat numpy array, no validity, the
+        exact raw dtype the spec's op expects."""
+        spec = self.fused_spec
+        for b in batches:
+            for c in spec.columns:
+                if c.source not in b:
+                    return False
+                col = b[c.source]
+                v = col.values
+                if (
+                    col.is_list
+                    or col.validity is not None
+                    or not isinstance(v, np.ndarray)
+                    or v.ndim != 1
+                    or v.dtype != c.in_dtype
+                ):
+                    return False
+        return True
+
+    def _use_native_fused(self, batches, window_rows: int) -> bool:
+        """Fused-stream native decision. First conforming window creates the
+        native file with the SPEC's output schema; a non-conforming window
+        before the decision leaves it open (the transform fallback decides
+        from its transformed output, which carries the same schema)."""
+        if not self._native_decided:
+            min_rows = int(os.environ.get("NVT_NATIVE_PARQUET_MIN_ROWS", 16384))
+            if (
+                window_rows < min_rows
+                or _native_plan(self.compression) is None
+                or not self._window_fused_ok(batches)
+            ):
+                return False
+            from .native_parquet import native_parquet_available
+
+            if not native_parquet_available():
+                return False
+            from .native_parquet import NativeParquetFile
+
+            self._native_decided = True
+            self.native = NativeParquetFile(
+                self.path, self.fused_spec.schema(), plan=_native_plan(self.compression)
+            )
+            return True
+        return self.native is not None and self._window_fused_ok(batches)
 
     def _flush_seeded(self, buf: List):
         """Flush a window of WHOLE pieces under the seeded hash-split
         protocol (see _flush). Hot path: one C++ call builds this file's
         shuffled gather index, one C++ call per column encodes — no numpy
-        permutation, no scatter, no GIL-held landing pass."""
+        permutation, no scatter, no GIL-held landing pass.
+
+        With a ``fused_spec`` the pieces are RAW batches: each column's
+        C++ call gathers the raw shard, applies the workflow op (cat probe /
+        cont pipe via the serving kernels), and encodes the result — the
+        transform itself runs inside the write worker, shard-local and
+        GIL-free (see io/stream_fuse.py)."""
         batches = [b for b, _, _ in buf]
         seeds = [s for _, _, s in buf]
         total = sum(b.num_rows for b in batches)
+        if self.fused_spec is not None:
+            if self._use_native_fused(batches, max(1, total // max(1, self.nfiles))):
+                from .native_parquet import build_window_index
+
+                gidx = build_window_index(
+                    [b.num_rows for b in batches],
+                    seeds,
+                    self.nfiles,
+                    self.file_k,
+                    int(self.rng.integers(0, 2**63)),
+                )
+                if len(gidx) == 0:
+                    return
+                spec = self.fused_spec
+                self.native.write_row_group(
+                    [
+                        [np.ascontiguousarray(b[c.source].values) for b in batches]
+                        for c in spec.columns
+                    ],
+                    gidx,
+                    len(gidx),
+                    ops=spec.make_ops(),
+                )
+                return
+            if self.transform is None:
+                raise RuntimeError(
+                    f"{self.path}: window does not fit the fused native "
+                    "stream and no transform fallback was provided; rerun "
+                    "with NVT_FUSED_WRITE=0"
+                )
+            return self._flush_seeded_transform(buf)
         if self._use_native(batches, max(1, total // max(1, self.nfiles))):
             from .native_parquet import build_window_index
 
@@ -533,6 +627,7 @@ class ParquetWriter:
         queue_depth: int = 4,
         seed: int = 42,
         transform=None,
+        fused_spec=None,
     ):
         os.makedirs(output_path, exist_ok=True)
         self.output_path = output_path
@@ -552,7 +647,7 @@ class ParquetWriter:
             _FileWorker(
                 p, self.compression, row_group_size, buffer_partitions, queue_depth,
                 seed=seed * 1000 + i, file_k=i, nfiles=self.num_files,
-                transform=transform,
+                transform=transform, fused_spec=fused_spec,
             )
             for i, p in enumerate(self._paths)
         ]
@@ -631,6 +726,7 @@ def write_dataset(
     seed: int = 42,
     compression: Optional[str] = None,
     transform=None,
+    fused_spec=None,
 ):
     """Write batches to ``out_files`` parquet files, optionally shuffled.
 
@@ -651,7 +747,14 @@ def write_dataset(
     Criteo stream: 4.8 two-phase vs 3.5M rows/s fused): the seeded encode
     fuses its shuffle gather INTO the page encode, so two-phase touches
     memory transform(write T) + encode(gather-read T), while the fused form
-    must materialize the gathered raw shard first — one extra full pass."""
+    must materialize the gathered raw shard first — one extra full pass.
+
+    ``fused_spec`` (io.stream_fuse.FusedStreamSpec) is the NATIVE form of
+    the fused stream: the dataset yields RAW batches and each file worker
+    gathers its shard + applies the workflow ops (cat probe / cont pipe)
+    + encodes, all inside one C++ call per column — no intermediate
+    transformed batch at all. Windows that don't conform (lists, validity,
+    dtype drift) degrade to the ``transform`` fallback, so pass both."""
     writer = ParquetWriter(
         output_path,
         out_files,
@@ -660,6 +763,7 @@ def write_dataset(
         buffer_partitions=buffer_partitions if shuffle in (Shuffle.PER_WORKER, Shuffle.FULL) else 1,
         seed=seed,
         transform=transform,
+        fused_spec=fused_spec if shuffle in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION) else None,
     )
     rng = np.random.default_rng(seed)
 

@@ -876,6 +876,11 @@ class Categorify(StatOperator):
             for accum, vals, validity in group:
                 accum.update(vals, validity)
 
+        # NOTE: LPT ordering (big partitioned counters first) was tried and
+        # measured slightly SLOWER: it schedules the big-table columns onto
+        # all threads at once, and concurrent random access does not scale
+        # on this host (see PCounter32) — the natural column order staggers
+        # them between cache-resident small columns instead.
         if len(pooled) >= 4:
             list(_shared_pool().map(run_group, pooled))
         else:

@@ -291,6 +291,85 @@ class TransformedDataset(Dataset):
     def num_rows(self) -> int:
         return self._base.num_rows
 
+    def to_parquet(
+        self,
+        output_path: str,
+        shuffle=None,
+        out_files_per_proc=None,
+        output_files=None,
+        row_group_size=None,
+        compression=None,
+        **kwargs,
+    ):
+        """Shuffled write of the transformed stream.
+
+        For PER_WORKER/PER_PARTITION shuffles over a fusable workflow this
+        streams RAW batches to the file workers, which gather + transform +
+        encode their own shard in one native call per column (the
+        reference's lazy to_parquet shape — dask materializes the transform
+        inside each write task, reference workflow.py:239-248; see
+        io/stream_fuse.py). Everything else takes the two-phase
+        transform→write stream. NVT_FUSED_WRITE=0 opts out."""
+        import os as _os
+
+        from ..io.shuffle import Shuffle, check_shuffle_arg
+        from ..io.writer import write_dataset
+
+        sh = check_shuffle_arg(shuffle)
+        spec = None
+        if sh in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION) and _os.environ.get(
+            "NVT_FUSED_WRITE", "1"
+        ) != "0":
+            from ..io.stream_fuse import extract_stream_spec
+
+            spec = extract_stream_spec(self._workflow)
+        if spec is None:
+            return super().to_parquet(
+                output_path,
+                shuffle=shuffle,
+                out_files_per_proc=out_files_per_proc,
+                output_files=output_files,
+                row_group_size=row_group_size,
+                compression=compression,
+                **kwargs,
+            )
+
+        wf = self._workflow
+        base = self._base
+        sources = spec.source_names
+
+        class _RawStream:
+            def to_batches(self, prefetch=1, **kw):
+                for b in base.to_batches(columns=sources, prefetch=prefetch):
+                    yield b.to_host()
+
+        from ..dag.executor import _enforce_dtypes
+        from ..dag.host_fuse import FusedHostExecutor
+
+        host = FusedHostExecutor()
+        node = wf.graph.output_node
+
+        def _fallback(batch):
+            # non-conforming window (lists/validity/dtype drift): the exact
+            # two-phase host transform
+            return _enforce_dtypes(
+                host.transform_batch(batch, node).to_host(), wf.output_dtypes
+            )
+
+        return write_dataset(
+            _RawStream(),
+            output_path,
+            shuffle=sh,
+            out_files=output_files
+            or out_files_per_proc
+            or min(self.npartitions, 16)
+            or 1,
+            row_group_size=row_group_size,
+            compression=compression,
+            transform=_fallback,
+            fused_spec=spec,
+        )
+
 
 def _as_dataset(data) -> Dataset:
     if isinstance(data, Dataset):
