@@ -442,12 +442,22 @@ def main():
     # run_write_phase docstring) on tmpfs when present, else disk.
     recycle_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     recycle_chunk = int(os.environ.get("NVT_BENCH_E2E_CHUNK", 4))
-    print(
-        f"bench: e2e stream ({stream_epochs} epochs, recycled chunks of {recycle_chunk})...",
-        file=sys.stderr,
-        flush=True,
-    )
-    e2e_seconds, e2e_bytes = run_write_phase(recycle_base, stream_epochs, recycle_chunk)
+    # the verdict-critical phases are repeated (NVT_BENCH_E2E_PASSES, ≥2 by
+    # default) and the reported number is the MEDIAN pass — single-shot etl
+    # numbers on this VM carry ~1.5x cross-run noise (docs/performance.md)
+    e2e_passes = max(1, int(os.environ.get("NVT_BENCH_E2E_PASSES", 2)))
+    e2e_pass_seconds = []
+    e2e_bytes = 0
+    for p in range(e2e_passes):
+        print(
+            f"bench: e2e stream pass {p + 1}/{e2e_passes} ({stream_epochs} epochs,"
+            f" recycled chunks of {recycle_chunk})...",
+            file=sys.stderr,
+            flush=True,
+        )
+        sec, e2e_bytes = run_write_phase(recycle_base, stream_epochs, recycle_chunk)
+        e2e_pass_seconds.append(sec)
+    e2e_seconds = float(np.median(e2e_pass_seconds))
     # storage-gated variant: one directory on the root disk, fewer epochs
     # (raw /dev/vda sustains only ~75-140 MB/s on this VM — anything above
     # that is page-cache absorption; see docs/performance.md)
@@ -463,6 +473,174 @@ def main():
         "disk_note": "storage-gated: single output dir on the VM disk (raw ~110MB/s sustained)",
     }
     os.environ.pop("NVT_PARQUET_FLOAT_CODEC", None)
+
+    # ------------------------------------------------------------------
+    # DEVICE → WRITER segment: transform a slice of the stream ON THE CHIP
+    # and land its outputs in the parquet writer — the path the reference's
+    # GPU uses for 100% of its baseline. On this dev tunnel the d2h
+    # readback is ~12 MB/s, so the chip's share of the e2e stream is tiny;
+    # the segment is still measured (it exists, works, and its per-row d2h
+    # cost is recorded), and a PCIe-normalized figure states what the same
+    # path yields when the chip is attached at local PCIe bandwidth.
+    device_stream_detail = {}
+    if os.environ.get("NVT_BENCH_DEVICE_STREAM", "1") != "0":
+        try:
+            print("bench: device->writer segment...", file=sys.stderr, flush=True)
+            from nvtabular_tpu.io.writer import ParquetWriter
+
+            seg_dir = tempfile.mkdtemp(prefix="nvt_bench_dev_", dir=recycle_base)
+            writer = ParquetWriter(seg_dir, num_files=2)
+            seg_rows = 0
+            seg_bytes = 0
+            start = time.perf_counter()
+            for prep in staged[:2]:
+                out = executor._dispatch(prep, out_node)
+                host_out = out.to_host()  # d2h readback of every column
+                for nm in host_out.column_names:
+                    seg_bytes += np.asarray(host_out[nm].values).nbytes
+                writer.append_shuffled(host_out)
+                seg_rows += host_out.num_rows
+            writer.close()
+            seg_seconds = time.perf_counter() - start
+            shutil.rmtree(seg_dir, ignore_errors=True)
+            d2h_mb_s = seg_bytes / seg_seconds / 1e6
+            bytes_per_row = seg_bytes / max(1, seg_rows)
+            dev_rate = seg_rows / seg_seconds
+            host_rate = e2e_rows / e2e_seconds
+            # PCIe gen3 x16 sustained (~10 GB/s) — what a locally-attached
+            # v5e sustains on d2h; the tunnel figure is the dev harness
+            pcie_bw = float(os.environ.get("NVT_BENCH_PCIE_BYTES_PER_S", 10e9))
+            d2h_cap = pcie_bw / bytes_per_row
+            # at PCIe bandwidth the d2h path stops being the wall — the
+            # chip's own transform rate (the sweep's device-only pass) binds
+            chip_rate = next(
+                (r for r, m in zip(pass_rates, pass_modes) if m == "device"),
+                None,
+            )
+            pcie_rate = min(d2h_cap, chip_rate) if chip_rate else d2h_cap
+            device_stream_detail = {
+                "device_stream_rows_per_sec": round(dev_rate, 1),
+                "device_stream_rows": int(seg_rows),
+                "device_d2h_mb_per_sec": round(d2h_mb_s, 2),
+                "device_d2h_bytes_per_row": round(bytes_per_row, 1),
+                "etl_stream_device_share": round(dev_rate / (dev_rate + host_rate), 5),
+                "etl_stream_device_share_pcie_normalized": round(
+                    pcie_rate / (pcie_rate + host_rate), 4
+                ),
+                "device_stream_pcie_normalized_rows_per_sec": round(pcie_rate, 1),
+                "device_stream_note": (
+                    "transform on chip -> d2h -> shuffled parquet write; the dev"
+                    " tunnel's ~12MB/s d2h gates the absolute rate. Normalized ="
+                    f" min(assumed PCIe d2h {pcie_bw/1e9:.0f}GB/s / measured"
+                    " bytes-per-row, the sweep's device-only transform rate) —"
+                    " at local PCIe the chip's compute binds, not the bus"
+                ),
+            }
+        except Exception as e:
+            device_stream_detail = {"device_stream_error": str(e)}
+
+    # ------------------------------------------------------------------
+    # TRAINING CHAIN (BASELINE config 5): transformed dataset -> HBM-staged
+    # DeviceLoader -> chunk-scan DLRM training steps on the real chip, with
+    # a loss-parity probe of the device feed against host-fed batches.
+    train_detail = {}
+    if os.environ.get("NVT_BENCH_TRAIN_CHAIN", "1") != "0":
+        try:
+            print("bench: train chain (DeviceLoader -> DLRM)...", file=sys.stderr, flush=True)
+            import optax
+
+            from nvtabular_tpu.loader import DeviceLoader
+            from nvtabular_tpu.models import (
+                DLRMConfig,
+                dlrm_init,
+                dlrm_loss,
+            )
+            from nvtabular_tpu.models.training import make_chunk_train_fn
+
+            train_bs = int(os.environ.get("NVT_BENCH_TRAIN_BS", 65536))
+            # 4 parts = 1M-row chunks = 16 steps per lax.scan dispatch: the
+            # tunnel adds ~0.5s per dispatch, so step rate is dispatch-
+            # amortization-bound here (a local chip pays ~none of that)
+            out_ds = workflow.transform(nvt.Dataset(parts[:4]))
+            dev_loader = DeviceLoader(
+                out_ds, batch_size=train_bs, shuffle=True, seed=0,
+                drop_last=True, cat_names=cat_names, cont_names=cont_names,
+                label_names=["label"],
+            )
+            # single-chip HBM-feasible DLRM: the REAL fitted cardinalities
+            # (five multi-million-key tables) with dim 16 + adagrad (the
+            # DLRM-standard optimizer, ONE state slot) fit a 16GB v5e;
+            # dim 64 + adam wants ~34GB and is the multi-chip sharded
+            # configuration (dryrun_multichip shards those tables)
+            train_dim = int(os.environ.get("NVT_BENCH_TRAIN_EMB_DIM", 16))
+            config = DLRMConfig.from_schema(
+                workflow.output_schema, embedding_dim=train_dim
+            )
+            params = dlrm_init(jax.random.PRNGKey(0), config)
+            opt = optax.adagrad(1e-2)
+            opt_state = opt.init(params)
+            train_chunk = make_chunk_train_fn(dlrm_loss, opt, train_bs)
+
+            # HBM-resident feed: stage the transformed chunks ONCE (h2d is
+            # throttled to ~75MB/s on this tunnel after the first readback
+            # — the staging cost is reported separately), then every
+            # training step reads free device slices. This is the
+            # DeviceLoader design (round 3): one lax.scan per chunk of
+            # steps, one dispatch per chunk.
+            stage_start = time.perf_counter()
+            staged_chunks = list(dev_loader.chunks())
+            import jax as _jax
+
+            staged_chunks = [_jax.device_put(c) for c in staged_chunks]
+            for c in staged_chunks:
+                _jax.block_until_ready(c)
+            stage_seconds = time.perf_counter() - stage_start
+            first = staged_chunks[0]
+            params, opt_state, losses = train_chunk(params, opt_state, first)
+            float(losses[-1])  # force compile + execution (axon is lazy)
+            target_steps = int(os.environ.get("NVT_BENCH_TRAIN_STEPS", 64))
+            start = time.perf_counter()
+            steps = 0
+            i = 0
+            while steps < target_steps:
+                params, opt_state, losses = train_chunk(
+                    params, opt_state, staged_chunks[i % len(staged_chunks)]
+                )
+                i += 1
+                steps += int(losses.shape[0])
+            final_loss = float(losses[-1])  # scalar readback forces the chain
+            train_seconds = time.perf_counter() - start
+            # parity probe: the chunk feed's first step must compute the
+            # same loss as the plain per-step fn on the same batch
+            from nvtabular_tpu.models import make_step_fns
+
+            one_batch = {k: v[:train_bs] for k, v in first.items()}
+            p0 = dlrm_init(jax.random.PRNGKey(0), config)
+            s0 = opt.init(p0)
+            step_fn, _ = make_step_fns(dlrm_loss, opt)
+            _, _, l_step = step_fn(p0, s0, one_batch)
+            p1 = dlrm_init(jax.random.PRNGKey(0), config)
+            s1 = opt.init(p1)
+            _, _, l_chunk = train_chunk(p1, s1, one_batch)
+            parity = abs(float(l_step) - float(l_chunk[0])) < 1e-4
+            train_detail = {
+                "train_examples_per_sec": round(steps * train_bs / train_seconds, 1),
+                "train_steps_per_sec": round(steps / train_seconds, 2),
+                "train_steps": steps,
+                "train_batch_size": train_bs,
+                "train_stage_seconds": round(stage_seconds, 3),
+                "train_final_loss": round(final_loss, 5),
+                "train_feed_parity": bool(parity),
+                "train_note": (
+                    "transform -> DeviceLoader (HBM-staged once; staging cost"
+                    " reported separately — the dev tunnel throttles h2d to"
+                    " ~75MB/s) -> one lax.scan per chunk of DLRM steps on the"
+                    " real chip; parity = chunk feed's first-step loss equals"
+                    " the per-step fn on the same batch"
+                ),
+            }
+        except Exception as e:
+            train_detail = {"train_chain_error": str(e)}
 
     # ------------------------------------------------------------------
     # FULL-PIPELINE fit: the reference's fit scans EVERY row of the input
@@ -484,12 +662,92 @@ def main():
         >> ops.LogOp()
         >> ops.Normalize()
     )
-    full_workflow = nvt.Workflow(full_cats + full_conts + ["label"])
-    full_fit_start = time.perf_counter()
-    full_workflow.fit(nvt.Dataset(parts * stream_epochs))  # repeated refs, no copies
-    full_fit_seconds = time.perf_counter() - full_fit_start
-    full_fit_stats = dict(getattr(full_workflow, "_fit_engine").last_fit_stats)
-    del full_workflow
+    def fresh_workflow():
+        fc = cat_names >> ops.Categorify(max_size=10_000_000)
+        fo = (
+            cont_names
+            >> ops.FillMissing()
+            >> ops.Clip(min_value=0.0)
+            >> ops.LogOp()
+            >> ops.Normalize()
+        )
+        return nvt.Workflow(fc + fo + ["label"])
+
+    fit_passes = max(1, int(os.environ.get("NVT_BENCH_FIT_PASSES", 2)))
+    full_fit_pass_seconds = []
+    full_fit_stats = {}
+    for p in range(fit_passes):
+        fw = fresh_workflow()
+        start = time.perf_counter()
+        fw.fit(nvt.Dataset(parts * stream_epochs))  # repeated refs, no copies
+        full_fit_pass_seconds.append(time.perf_counter() - start)
+        full_fit_stats = dict(getattr(fw, "_fit_engine").last_fit_stats)
+        del fw
+    full_fit_seconds = float(np.median(full_fit_pass_seconds))
+
+    # DISCOVERY-SPREAD full fit: the warm stream above re-hits a fixed
+    # 22.3M-key vocabulary after epoch 1 (313 values/key — EASIER than the
+    # real Criteo-TB scan's ~128). This variant rotates the key space twice
+    # across the 64 epochs (XOR-salted categorical ids, a bijection on the
+    # int31 id space), so keys keep being DISCOVERED throughout the scan at
+    # ~104 values/key — slightly HARDER than Criteo-TB. The two fits
+    # bracket the real workload; both are reported, labeled.
+    disc_detail = {}
+    if os.environ.get("NVT_BENCH_DISCOVERY_FIT", "1") != "0":
+        try:
+            print("bench: discovery-spread full fit...", file=sys.stderr, flush=True)
+            from nvtabular_tpu.table import Column as _Col, TableBatch as _TB
+
+            def salted(ps, salt):
+                out = []
+                for b in ps:
+                    nb = _TB()
+                    for name in b.column_names:
+                        col = b[name]
+                        if name.startswith("C"):
+                            nb[name] = _Col(np.asarray(col.values) ^ np.int32(salt))
+                        else:
+                            nb[name] = col  # conts/label shared, no copy
+                    out.append(nb)
+                return out
+
+            sets = [parts, salted(parts, 0x15555555), salted(parts, 0x2AAAAAA8)]
+            third = stream_epochs // 3
+            order = (
+                sets[0] * (stream_epochs - 2 * third)
+                + sets[1] * third
+                + sets[2] * third
+            )
+            dw = fresh_workflow()
+            start = time.perf_counter()
+            dw.fit(nvt.Dataset(order))
+            disc_seconds = time.perf_counter() - start
+            disc_stats = dict(getattr(dw, "_fit_engine").last_fit_stats)
+            disc_keys = sum(len(v.values_by_code) for v in _categorify_ops(dw))
+            del dw, sets, order
+            disc_detail = {
+                "full_fit_discovery_seconds": round(disc_seconds, 3),
+                "full_fit_discovery_scan_seconds": round(
+                    disc_stats.get("scan_seconds", 0.0), 3
+                ),
+                "full_fit_discovery_scan_rows_per_sec": round(
+                    e2e_rows / disc_stats["scan_seconds"], 1
+                )
+                if disc_stats.get("scan_seconds")
+                else None,
+                "full_fit_discovery_keys": int(disc_keys),
+                "etl_full_pipeline_discovery_rows_per_sec": round(
+                    e2e_rows / (disc_seconds + e2e_seconds), 1
+                ),
+                "full_fit_discovery_note": (
+                    "key space XOR-rotated twice across the 64 epochs: keys are"
+                    " discovered throughout the scan at ~104 values/key (real"
+                    " Criteo-TB is ~128; the warm fit above is 313) — the warm"
+                    " and discovery fits bracket the real workload"
+                ),
+            }
+        except Exception as e:  # never lose the artifact to the variant
+            disc_detail = {"full_fit_discovery_error": str(e)}
 
     if input_dir:
         shutil.rmtree(input_dir, ignore_errors=True)
@@ -547,6 +805,7 @@ def main():
                         etl_full_pipeline_rows_per_sec / BASELINE_ROWS_PER_SEC, 4
                     ),
                     "full_fit_seconds": round(full_fit_seconds, 3),
+                    "full_fit_pass_seconds": [round(s, 3) for s in full_fit_pass_seconds],
                     "full_fit_scan_seconds": round(full_fit_stats.get("scan_seconds", 0.0), 3),
                     "full_fit_scan_rows_per_sec": round(
                         e2e_rows / full_fit_stats["scan_seconds"], 1
@@ -554,9 +813,15 @@ def main():
                     if full_fit_stats.get("scan_seconds")
                     else None,
                     "full_fit_note": (
-                        "fresh workflow fitted over the repeated stream (rows/keys ~6, the"
-                        " Criteo-TB ratio); repeats rediscover no new keys after epoch 1"
+                        "WARM-TABLE fit of the actual repeated stream (all 268M rows"
+                        " scanned, but repeats rediscover no new keys after epoch 1 —"
+                        " 313 values/key vs real Criteo-TB's ~128); see the"
+                        " full_fit_discovery_* fields for the discovery-spread"
+                        " variant that brackets the real workload from the other side"
                     ),
+                    **disc_detail,
+                    **device_stream_detail,
+                    **train_detail,
                     "etl_rows": int(e2e_rows),
                     "etl_stream_mode": (
                         "fused-native" if stream_spec is not None else "two-phase"
@@ -565,6 +830,7 @@ def main():
                     "etl_float_codec": etl_float_codec,
                     "etl_input": e2e_input,
                     "etl_stream_seconds": round(e2e_seconds, 3),
+                    "etl_stream_pass_seconds": [round(s, 3) for s in e2e_pass_seconds],
                     "etl_stream_rows_per_sec": round(e2e_rows / e2e_seconds, 1),
                     "etl_write_mb_per_sec": round(e2e_bytes / e2e_seconds / 1e6, 1),
                     "etl_stream_note": (

@@ -126,9 +126,28 @@ class MomentsState:
         self.columns = {name: ColumnMoments() for name in columns}
 
     def update_batch(self, batch: TableBatch, names: Optional[List[str]] = None):
-        for name in names or self.columns:
-            if name in batch:
-                self.columns[name].update_batch(batch[name])
+        present = [n for n in (names or self.columns) if n in batch]
+        # column-parallel scan: each moments_pass is a GIL-releasing native
+        # call, so a multi-column batch fans across the shared encode pool
+        # (the serial loop left 3 of 4 cores idle during the cont half of
+        # the fit scan — measured 22.5M rows/s for 13 columns, the ONE-
+        # thread native rate). Each job owns a distinct column's state.
+        if len(present) >= 4 and all(
+            not batch[n].is_list
+            and isinstance(batch[n].values, np.ndarray)
+            and batch[n].values.dtype.kind in "fi"
+            for n in present
+        ):
+            from .categorify import _shared_pool
+
+            list(
+                _shared_pool().map(
+                    lambda n: self.columns[n].update_batch(batch[n]), present
+                )
+            )
+            return self
+        for name in present:
+            self.columns[name].update_batch(batch[name])
         return self
 
     def merge(self, other: "MomentsState") -> "MomentsState":
