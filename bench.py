@@ -136,10 +136,40 @@ def make_part(seed: int):
     return data
 
 
+def _vm_health():
+    """Two-second host probe recorded in the artifact: this VM's memory
+    system degrades 1.5-2x for a while after multi-GB churn (host-side
+    reclaim of thin-provisioned pages — docs/performance.md), and the etl
+    phases track it directly. The probe lets a reader normalize a given
+    run: calm machine ≈ seq ≥ 12 GB/s (1T memset) and ≥ 55M random
+    loads/s; degraded runs measure well below."""
+    try:
+        import time as _t
+
+        buf = np.ones(256 * 1024 * 1024 // 8, dtype=np.int64)
+        t0 = _t.perf_counter()
+        for _ in range(3):
+            buf[:] = 1
+        seq = 3 * buf.nbytes / (_t.perf_counter() - t0)
+        idx = np.random.default_rng(0).integers(0, len(buf), 10_000_000)
+        t0 = _t.perf_counter()
+        s = int(buf[idx].sum())
+        rnd = len(idx) / (_t.perf_counter() - t0)
+        del buf, idx, s
+        return {
+            "vm_seq_gb_per_sec": round(seq / 1e9, 2),
+            "vm_random_loads_per_sec": round(rnd / 1e6, 1),
+        }
+    except Exception:
+        return {}
+
+
 def main():
     import nvtabular_tpu as nvt
     from nvtabular_tpu import ops
     from nvtabular_tpu.table import TableBatch
+
+    vm_health = _vm_health()
 
     parts = [TableBatch.from_pydict(make_part(s)) for s in range(NUM_PARTS)]
     dataset = nvt.Dataset(parts)
@@ -839,6 +869,7 @@ def main():
                         " unbounded output dir measures the balloon, not the pipeline"
                     ),
                     **disk_detail,
+                    **vm_health,
                     "backend": _backend(),
                 },
             }
