@@ -256,3 +256,78 @@ def test_fused_ops_direct(tmp_path):
         assert np.array_equal(
             want.astype(have.dtype, copy=False), have, equal_nan=True
         ), c.name
+
+
+def test_fused_spec_reflects_refit(tmp_path):
+    """The stream spec is extracted per to_parquet call: a refit must not
+    leak the previous generation's tables into the fused write (the same
+    staleness class as the jit-program and host-chain caches)."""
+    rng = np.random.default_rng(5)
+    ds1 = nvt.Dataset(
+        [TableBatch.from_pydict({"c": rng.integers(0, 10, 2000).astype(np.int32)})]
+    )
+    # second dataset: disjoint id space -> completely different vocab
+    ds2 = nvt.Dataset(
+        [
+            TableBatch.from_pydict(
+                {"c": (rng.integers(0, 10, 2000) + 1000).astype(np.int32)}
+            )
+        ]
+    )
+    wf = nvt.Workflow(["c"] >> ops.Categorify())
+    os.environ["NVT_NATIVE_PARQUET_MIN_ROWS"] = "1"
+    try:
+        wf.fit(ds1)
+        d1 = str(tmp_path / "gen1")
+        wf.transform(ds1).to_parquet(d1, shuffle="per_worker", output_files=1)
+        wf.clear_stats()
+        wf.fit(ds2)
+        d2 = str(tmp_path / "gen2")
+        wf.transform(ds2).to_parquet(d2, shuffle="per_worker", output_files=1)
+    finally:
+        os.environ.pop("NVT_NATIVE_PARQUET_MIN_ROWS", None)
+    got2 = pq.read_table(os.path.join(d2, "part_0.parquet")).column("c").to_numpy()
+    # every gen-2 value must be in-vocabulary (>= 3), not OOV=2 — a stale
+    # gen-1 table would map the +1000 ids to OOV
+    assert (got2 >= 3).all(), got2[:20]
+
+
+def test_fused_single_table_offsets(tmp_path):
+    """single_table=True shifts each column's codes by the shared-table
+    offset; the fused probe must carry vocab.offset into the C++ op."""
+    rng = np.random.default_rng(6)
+    ds = nvt.Dataset(
+        [
+            TableBatch.from_pydict(
+                {
+                    "a": rng.integers(0, 20, 4000).astype(np.int32),
+                    "b": rng.integers(0, 30, 4000).astype(np.int32),
+                }
+            )
+        ]
+    )
+    wf = nvt.Workflow(["a", "b"] >> ops.Categorify(single_table=True))
+    wf.fit(ds)
+    from nvtabular_tpu.io.stream_fuse import extract_stream_spec
+
+    spec = extract_stream_spec(wf)
+    if spec is None:
+        pytest.skip("single_table spec unsupported on this build")
+    os.environ["NVT_NATIVE_PARQUET_MIN_ROWS"] = "1"
+    try:
+        d = str(tmp_path / "st")
+        wf.transform(ds).to_parquet(d, shuffle="per_worker", output_files=1)
+    finally:
+        os.environ.pop("NVT_NATIVE_PARQUET_MIN_ROWS", None)
+    got = pq.read_table(os.path.join(d, "part_0.parquet"))
+    from nvtabular_tpu.dag.host_fuse import FusedHostExecutor
+
+    expect = FusedHostExecutor().transform_batch(
+        list(ds.to_batches())[0], wf.graph.output_node
+    )
+    # codes land in DISJOINT ranges per column (the single_table contract)
+    ga = got.column("a").to_numpy()
+    gb = got.column("b").to_numpy()
+    assert set(np.unique(ga)) == set(np.unique(np.asarray(expect["a"].values)))
+    assert set(np.unique(gb)) == set(np.unique(np.asarray(expect["b"].values)))
+    assert not (set(np.unique(ga)) & set(np.unique(gb)))
