@@ -478,15 +478,29 @@ def main():
     e2e_passes = max(1, int(os.environ.get("NVT_BENCH_E2E_PASSES", 2)))
     e2e_pass_seconds = []
     e2e_bytes = 0
-    for p in range(e2e_passes):
+
+    def _one_stream_pass(p, total):
+        nonlocal e2e_bytes
         print(
-            f"bench: e2e stream pass {p + 1}/{e2e_passes} ({stream_epochs} epochs,"
+            f"bench: e2e stream pass {p}/{total} ({stream_epochs} epochs,"
             f" recycled chunks of {recycle_chunk})...",
             file=sys.stderr,
             flush=True,
         )
         sec, e2e_bytes = run_write_phase(recycle_base, stream_epochs, recycle_chunk)
         e2e_pass_seconds.append(sec)
+
+    for p in range(e2e_passes):
+        _one_stream_pass(p + 1, e2e_passes)
+    # a third observation when the first two disagree by >15% — the VM's
+    # page-reclaim state can shift mid-run and a 2-sample median is then
+    # just their mean; the tiebreaker makes the median a real vote
+    if (
+        len(e2e_pass_seconds) == 2
+        and abs(e2e_pass_seconds[0] - e2e_pass_seconds[1])
+        > 0.15 * min(e2e_pass_seconds)
+    ):
+        _one_stream_pass(3, 3)
     e2e_seconds = float(np.median(e2e_pass_seconds))
     # storage-gated variant: one directory on the root disk, fewer epochs
     # (raw /dev/vda sustains only ~75-140 MB/s on this VM — anything above
@@ -706,13 +720,24 @@ def main():
     fit_passes = max(1, int(os.environ.get("NVT_BENCH_FIT_PASSES", 2)))
     full_fit_pass_seconds = []
     full_fit_stats = {}
-    for p in range(fit_passes):
+
+    def _one_fit_pass():
+        nonlocal full_fit_stats
         fw = fresh_workflow()
         start = time.perf_counter()
         fw.fit(nvt.Dataset(parts * stream_epochs))  # repeated refs, no copies
         full_fit_pass_seconds.append(time.perf_counter() - start)
         full_fit_stats = dict(getattr(fw, "_fit_engine").last_fit_stats)
         del fw
+
+    for p in range(fit_passes):
+        _one_fit_pass()
+    if (
+        len(full_fit_pass_seconds) == 2
+        and abs(full_fit_pass_seconds[0] - full_fit_pass_seconds[1])
+        > 0.15 * min(full_fit_pass_seconds)
+    ):
+        _one_fit_pass()  # tiebreaker (see the stream passes)
     full_fit_seconds = float(np.median(full_fit_pass_seconds))
 
     # DISCOVERY-SPREAD full fit: the warm stream above re-hits a fixed
