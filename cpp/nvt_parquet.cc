@@ -695,6 +695,9 @@ int nvtpq_write_column_op(void* h, const void* const* srcs, int npieces,
                            level, out_meta);
 }
 
+// layout guard for the ctypes mirror (io/native_parquet.py asserts at load)
+long long nvtpq_op_sizeof() { return static_cast<long long>(sizeof(NvtpqOp)); }
+
 int nvtpq_close(void* h) {
   Writer* w = static_cast<Writer*>(h);
   int rc = std::fclose(w->f) == 0 ? 0 : 1;

@@ -157,6 +157,14 @@ def _build_and_load() -> ctypes.CDLL:
         lib.nvtpq_build_window_index.restype = ctypes.c_longlong
         lib.nvtpq_close.argtypes = [ctypes.c_void_p]
         lib.nvtpq_close.restype = ctypes.c_int
+        lib.nvtpq_op_sizeof.restype = ctypes.c_longlong
+        csize = int(lib.nvtpq_op_sizeof())
+        if csize != ctypes.sizeof(NvtpqOp):  # pragma: no cover - build skew
+            _LIB_ERR = (
+                f"NvtpqOp layout skew: C sizeof {csize} != ctypes "
+                f"{ctypes.sizeof(NvtpqOp)} — rebuild or fix the mirror"
+            )
+            raise RuntimeError(_LIB_ERR)
         _LIB = lib
         return lib
 
