@@ -448,6 +448,27 @@ def main():
             done += n
         return total_seconds, total_bytes
 
+    # The host's memory system has a degraded page-reclaim state that maps
+    # DIRECTLY onto the etl phases (vm_random 1.3M/s → stream 54s; 18.6M →
+    # 40s; healthy → 34s — CLAUDE.md correlation table). If the machine is
+    # catastrophically degraded right now, wait briefly (capped) for
+    # recovery before the CPU-bound phases: this schedules the measurement,
+    # it does not change what is measured. Waited seconds are recorded.
+    etl_wait_seconds = 0.0
+    min_health = float(os.environ.get("NVT_BENCH_MIN_HEALTH_MLOADS", 8))
+    max_wait = float(os.environ.get("NVT_BENCH_HEALTH_WAIT_S", 480))
+    health_now = _vm_health().get("vm_random_loads_per_sec", 1e9)
+    while health_now < min_health and etl_wait_seconds < max_wait:
+        print(
+            f"bench: host degraded ({health_now}M random loads/s < {min_health}M);"
+            " waiting 60s for page-reclaim recovery...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(60)
+        etl_wait_seconds += 60
+        health_now = _vm_health().get("vm_random_loads_per_sec", 1e9)
+
     # single-epoch pass first (the row count the transform sweep used, for
     # continuity with BENCH_r01/r02), then the multi-epoch amortizing run
     print("bench: write phase (1 epoch)...", file=sys.stderr, flush=True)
@@ -895,6 +916,8 @@ def main():
                     ),
                     **disk_detail,
                     **vm_health,
+                    "vm_health_at_etl": round(float(health_now), 1),
+                    "etl_health_wait_seconds": round(etl_wait_seconds, 1),
                     "backend": _backend(),
                 },
             }
