@@ -13,6 +13,7 @@ EXAMPLES = [
     "examples/03_dlrm_training.py",
     "examples/04_scaling_hetero.py",
     "examples/05_multichip_pipeline.py",
+    "examples/06_fused_shuffled_write.py",
 ]
 
 
