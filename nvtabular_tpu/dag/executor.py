@@ -994,65 +994,63 @@ class FitEngine:
             # measured NEUTRAL once MomentsState pooled its columns: all
             # scan work now flows through the one shared 4-thread pool, so
             # there is no oversubscription left for a split to fix.)
-            groups = [nodes]
+            columns = self._phase_columns(nodes)
             scan_start = time.perf_counter()
-            for group_idx, group in enumerate(groups):
-                columns = self._phase_columns(group)
-                for batch in dataset.to_batches(columns=columns, shard=shard):
-                    memo: Dict[int, TableBatch] = {}
-                    # Node-level overlap: ops whose fit_batch releases the
-                    # GIL (fit_batch_concurrent, e.g. Categorify's pooled
-                    # C++ counters) run on a side thread while the
-                    # remaining ops' input chains + numpy scans (e.g.
-                    # cont_pipe -> Normalize moments) use the main thread.
-                    # Concurrent nodes' inputs are computed FIRST (cheap
-                    # raw-column selects) so the side thread launches
-                    # before the serial input chains start; the memo dict
-                    # stays main-thread-only.
-                    def _concurrent_ok(n):
-                        if os.environ.get("NVT_FIT_NODE_OVERLAP", "1") == "0":
-                            return False
-                        if id(n) in mesh_plans or id(n) not in states:
-                            return False
-                        probe = getattr(n.op, "fit_batch_concurrent", None)
-                        return bool(probe and probe(states[id(n)]))
+            for batch in dataset.to_batches(columns=columns, shard=shard):
+                memo: Dict[int, TableBatch] = {}
+                # Node-level overlap: ops whose fit_batch releases the
+                # GIL (fit_batch_concurrent, e.g. Categorify's pooled
+                # C++ counters) run on a side thread while the
+                # remaining ops' input chains + numpy scans (e.g.
+                # cont_pipe -> Normalize moments) use the main thread.
+                # Concurrent nodes' inputs are computed FIRST (cheap
+                # raw-column selects) so the side thread launches
+                # before the serial input chains start; the memo dict
+                # stays main-thread-only.
+                def _concurrent_ok(n):
+                    if os.environ.get("NVT_FIT_NODE_OVERLAP", "1") == "0":
+                        return False
+                    if id(n) in mesh_plans or id(n) not in states:
+                        return False
+                    probe = getattr(n.op, "fit_batch_concurrent", None)
+                    return bool(probe and probe(states[id(n)]))
 
-                    conc_nodes = [n for n in group if _concurrent_ok(n)]
-                    rest = [n for n in group if not _concurrent_ok(n)]
-                    th = None
-                    if conc_nodes and rest:
-                        conc = [
-                            (n, self._input_executor.compute_node_input(n, batch, memo))
-                            for n in conc_nodes
-                        ]
-                        import threading as _threading
+                conc_nodes = [n for n in nodes if _concurrent_ok(n)]
+                rest = [n for n in nodes if not _concurrent_ok(n)]
+                th = None
+                if conc_nodes and rest:
+                    conc = [
+                        (n, self._input_executor.compute_node_input(n, batch, memo))
+                        for n in conc_nodes
+                    ]
+                    import threading as _threading
 
-                        def _run_conc():
-                            for n, ib in conc:
-                                states[id(n)] = n.op.fit_batch(n.selector, ib, states[id(n)])
+                    def _run_conc():
+                        for n, ib in conc:
+                            states[id(n)] = n.op.fit_batch(n.selector, ib, states[id(n)])
 
-                        th = _threading.Thread(target=_run_conc)
-                        th.start()
-                    else:
-                        rest = group
-                    for n in rest:
-                        input_batch = self._input_executor.compute_node_input(n, batch, memo)
-                        if id(n) in mesh_plans:
-                            for cname in mesh_plans[id(n)]:
-                                col = input_batch[cname].to_host()
-                                vals = np.asarray(col.values)
-                                validity = (
-                                    None
-                                    if col.is_list or col.validity is None
-                                    else np.asarray(col.validity)
-                                )
-                                mesh_buffers[id(n)][cname].append((vals, validity))
-                            continue
-                        states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
-                    if th is not None:
-                        th.join()
-                    if phase_idx == 0 and group_idx == 0:
-                        stats["rows_scanned"] += batch.num_rows
+                    th = _threading.Thread(target=_run_conc)
+                    th.start()
+                else:
+                    rest = nodes
+                for n in rest:
+                    input_batch = self._input_executor.compute_node_input(n, batch, memo)
+                    if id(n) in mesh_plans:
+                        for cname in mesh_plans[id(n)]:
+                            col = input_batch[cname].to_host()
+                            vals = np.asarray(col.values)
+                            validity = (
+                                None
+                                if col.is_list or col.validity is None
+                                else np.asarray(col.validity)
+                            )
+                            mesh_buffers[id(n)][cname].append((vals, validity))
+                        continue
+                    states[id(n)] = n.op.fit_batch(n.selector, input_batch, states[id(n)])
+                if th is not None:
+                    th.join()
+                if phase_idx == 0:
+                    stats["rows_scanned"] += batch.num_rows
             for n in nodes:
                 if id(n) in mesh_plans:
                     states[id(n)] = n.op.fit_mesh(
