@@ -325,10 +325,11 @@ def main():
     import shutil
     import tempfile
 
-    # 64 epochs ≈ 268M rows against 22.3M fitted keys (row/key ratio 12 —
-    # still 16x below the real Criteo-TB ratio of ~196, so this AMORTIZES
-    # the fixed fit cost LESS than the dataset the baseline measured);
-    # output stays bounded via chunked recycling regardless of epochs
+    # 64 epochs ≈ 268M rows against 22.3M fitted keys: 313 values/key
+    # (rows × 26 cat columns / keys) vs the real Criteo-TB scan's ~129 —
+    # the warm fit amortizes MORE than the baseline's dataset, which is
+    # why the discovery-spread fit variant (~104 values/key) brackets it
+    # from the other side; output stays bounded via chunked recycling
     stream_epochs = int(os.environ.get("NVT_BENCH_E2E_EPOCHS", 64))
     # one writer thread per core: the shuffled write is CPU-bound on the
     # parquet encode (measured 2.87M rows/s at 4 files vs 2.18M at 8 on a
