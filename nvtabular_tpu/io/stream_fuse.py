@@ -187,6 +187,14 @@ def _branch_columns(node) -> Optional[Dict[str, FusedColumn]]:
             return None
         if np.dtype(op._out_dtype_np()) != np.dtype(np.int32):
             return None
+        try:
+            if op._memory_limit_bytes() is not None:
+                # the spec would pin EVERY column's native table resident
+                # for the whole write, defeating the cardinality LRU budget
+                # — the two-phase stream spills/reloads per column instead
+                return None
+        except Exception:
+            return None
         for key, members in op._groups(node.selector):
             if len(members) > 1 and op.encode_type == "combo":
                 return None  # combo fuses member columns into one — host path
