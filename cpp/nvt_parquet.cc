@@ -31,6 +31,8 @@
 #include <type_traits>
 #include <vector>
 
+#include <unistd.h>
+
 #include <zstd.h>
 
 #if defined(__AVX512F__)
@@ -569,7 +571,16 @@ long long nvtpq_build_window_index(const long long* piece_rows,
 }
 
 void* nvtpq_open(const char* path) {
-  FILE* f = std::fopen(path, "wb");
+  // NVT_PQ_KEEP_PAGES=1: overwrite an existing file IN PLACE ("r+b", no
+  // truncate-at-open) so tmpfs/page-cache pages are REUSED instead of
+  // freed and re-provisioned — on hosts that throttle first-touch of new
+  // pages (thin-provisioned guest RAM), a rewrite loop over the same
+  // files then never pays the provisioning cost. The file is truncated to
+  // its true length at close, so no stale tail survives.
+  const char* keep = std::getenv("NVT_PQ_KEEP_PAGES");
+  FILE* f = nullptr;
+  if (keep && keep[0] == '1') f = std::fopen(path, "r+b");
+  if (!f) f = std::fopen(path, "wb");
   if (!f) return nullptr;
   setvbuf(f, nullptr, _IOFBF, 1 << 20);
   if (std::fwrite("PAR1", 1, 4, f) != 4) {
@@ -700,6 +711,14 @@ long long nvtpq_op_sizeof() { return static_cast<long long>(sizeof(NvtpqOp)); }
 
 int nvtpq_close(void* h) {
   Writer* w = static_cast<Writer*>(h);
+  // drop any stale tail from a longer previous file (keep-pages mode);
+  // the Python footer then appends at the true data end
+  std::fflush(w->f);
+  if (ftruncate(fileno(w->f), static_cast<off_t>(w->offset)) != 0) {
+    std::fclose(w->f);
+    delete w;
+    return 1;
+  }
   int rc = std::fclose(w->f) == 0 ? 0 : 1;
   delete w;
   return rc;

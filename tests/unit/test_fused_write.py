@@ -331,3 +331,26 @@ def test_fused_single_table_offsets(tmp_path):
     assert set(np.unique(ga)) == set(np.unique(np.asarray(expect["a"].values)))
     assert set(np.unique(gb)) == set(np.unique(np.asarray(expect["b"].values)))
     assert not (set(np.unique(ga)) & set(np.unique(gb)))
+
+
+def test_keep_pages_overwrite(tmp_path):
+    """NVT_PQ_KEEP_PAGES=1 overwrites parquet files in place (r+b, truncate
+    at close): a SHORTER rewrite must leave no stale tail — the footer
+    locator sits at EOF, so any leftover bytes corrupt the file."""
+    from nvtabular_tpu.io import native_parquet as npq
+
+    if not npq.native_parquet_available():
+        pytest.skip("native parquet unavailable")
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "kp.parquet")
+    os.environ["NVT_PQ_KEEP_PAGES"] = "1"
+    try:
+        for rows in (40_000, 12_000, 25_000):  # long, shorter, mid rewrite
+            vals = rng.integers(0, 1000, rows).astype(np.int32)
+            f = npq.NativeParquetFile(path, [("v", np.dtype(np.int32))])
+            f.write_row_group([[vals]], None, rows)
+            f.close()
+            got = pq.read_table(path).column("v").to_numpy()
+            assert np.array_equal(got, vals), rows
+    finally:
+        os.environ.pop("NVT_PQ_KEEP_PAGES", None)
