@@ -136,6 +136,29 @@ class _FileWorker:
                         self._flush(buf)
                     return
                 batch, idx, shuffled, seed = item
+                if not shuffled and self.fused_spec is not None:
+                    # un-shuffled fused append: raw piece -> per-column
+                    # gather(+idx)+op+encode, same machinery as the seeded
+                    # windows but with an identity (or explicit) index
+                    piece = batch if idx is None else batch
+                    n_rows = batch.num_rows if idx is None else len(idx)
+                    if n_rows and self._use_native_fused([piece], n_rows):
+                        gidx = (
+                            None
+                            if idx is None
+                            else np.ascontiguousarray(idx, dtype=np.int64)
+                        )
+                        spec = self.fused_spec
+                        self.native.write_row_group(
+                            [
+                                [np.ascontiguousarray(piece[c.source].values)]
+                                for c in spec.columns
+                            ],
+                            gidx,
+                            n_rows,
+                            ops=spec.make_ops(),
+                        )
+                        continue
                 if self.transform is not None and not shuffled:
                     piece = batch.take(idx) if idx is not None else batch
                     batch, idx = self.transform(piece), None
@@ -763,7 +786,11 @@ def write_dataset(
         buffer_partitions=buffer_partitions if shuffle in (Shuffle.PER_WORKER, Shuffle.FULL) else 1,
         seed=seed,
         transform=transform,
-        fused_spec=fused_spec if shuffle in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION) else None,
+        fused_spec=(
+            fused_spec
+            if shuffle in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION, None)
+            else None
+        ),
     )
     rng = np.random.default_rng(seed)
 

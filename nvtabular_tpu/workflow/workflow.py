@@ -317,7 +317,7 @@ class TransformedDataset(Dataset):
 
         sh = check_shuffle_arg(shuffle)
         spec = None
-        if sh in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION) and _os.environ.get(
+        if sh in (Shuffle.PER_WORKER, Shuffle.PER_PARTITION, None) and _os.environ.get(
             "NVT_FUSED_WRITE", "1"
         ) != "0":
             from ..io.stream_fuse import extract_stream_spec

@@ -354,3 +354,32 @@ def test_keep_pages_overwrite(tmp_path):
             assert np.array_equal(got, vals), rows
     finally:
         os.environ.pop("NVT_PQ_KEEP_PAGES", None)
+
+
+def test_fused_unshuffled_write(tmp_path):
+    """shuffle=None to_parquet also rides the fused path: raw batches
+    round-robin to the file workers, transformed inside the encode; output
+    must equal the two-phase host stream file for file, row for row."""
+    ds = _dataset()
+    wf = _workflow(ds)
+    td = wf.transform(ds)
+    d1, d2 = str(tmp_path / "fused"), str(tmp_path / "host")
+    os.environ["NVT_NATIVE_PARQUET_MIN_ROWS"] = "1"
+    try:
+        td.to_parquet(d1, output_files=2)
+        from nvtabular_tpu.dag.host_fuse import FusedHostExecutor
+        from nvtabular_tpu.io.writer import write_dataset
+
+        host = FusedHostExecutor()
+        node = wf.graph.output_node
+
+        class _S:
+            def to_batches(self, prefetch=1, **kw):
+                for b in ds.to_batches():
+                    yield host.transform_batch(b, node)
+
+        write_dataset(_S(), d2, out_files=2)
+    finally:
+        os.environ.pop("NVT_NATIVE_PARQUET_MIN_ROWS", None)
+    total = _assert_identical(d1, d2)
+    assert total == ds.num_rows
