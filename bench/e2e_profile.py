@@ -131,9 +131,37 @@ def main():
     dt, nbytes = run_write(_Stream(outs, args.epochs))
     print(f"{'write_pre':14s} {dt:7.3f}s  {rows/dt/1e6:6.2f}M rows/s  {nbytes/rows:5.1f} B/row  {nbytes/dt/1e6:6.1f} MB/s")
 
-    # --- full stream
+    # --- full stream (two-phase: producer transform -> worker encode)
     dt, nbytes = run_write(_TransformStream(batches, args.epochs))
-    print(f"{'stream':14s} {dt:7.3f}s  {rows/dt/1e6:6.2f}M rows/s  {nbytes/rows:5.1f} B/row  {nbytes/dt/1e6:6.1f} MB/s")
+    print(f"{'stream2phase':14s} {dt:7.3f}s  {rows/dt/1e6:6.2f}M rows/s  {nbytes/rows:5.1f} B/row  {nbytes/dt/1e6:6.1f} MB/s")
+
+    # --- FUSED stream (workers gather+probe+encode raw shards)
+    from nvtabular_tpu.io.stream_fuse import extract_stream_spec
+
+    spec = extract_stream_spec(workflow)
+    if spec is not None:
+        def fallback(b):
+            from nvtabular_tpu.dag.executor import _enforce_dtypes
+
+            return _enforce_dtypes(
+                host.transform_batch(b, out_node).to_host(), workflow.output_dtypes
+            )
+
+        d = tempfile.mkdtemp(prefix="nvt_prof_", dir=base)
+        try:
+            t = time.perf_counter()
+            write_dataset(
+                _Stream(batches, args.epochs), d,
+                shuffle=check_shuffle_arg("per_worker"),
+                out_files=args.out_files, fused_spec=spec, transform=fallback,
+            )
+            dt = time.perf_counter() - t
+            nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        print(f"{'streamfused':14s} {dt:7.3f}s  {rows/dt/1e6:6.2f}M rows/s  {nbytes/rows:5.1f} B/row  {nbytes/dt/1e6:6.1f} MB/s")
+    else:
+        print("streamfused    (spec not applicable)")
 
     # --- single-thread encode micro-splits on one transformed batch
     from nvtabular_tpu.io import native_parquet as npq
