@@ -383,3 +383,51 @@ def test_fused_unshuffled_write(tmp_path):
         os.environ.pop("NVT_NATIVE_PARQUET_MIN_ROWS", None)
     total = _assert_identical(d1, d2)
     assert total == ds.num_rows
+
+
+def test_fused_joint_encoding(tmp_path):
+    """encode_type='joint' shares one vocabulary across member columns;
+    each column still encodes itself — the fused spec must resolve each
+    member to the SHARED table and match the host path exactly."""
+    rng = np.random.default_rng(8)
+    ds = nvt.Dataset(
+        [
+            TableBatch.from_pydict(
+                {
+                    "src": rng.integers(0, 40, 3000).astype(np.int32),
+                    "dst": rng.integers(10, 60, 3000).astype(np.int32),
+                }
+            )
+        ]
+    )
+    wf = nvt.Workflow([["src", "dst"]] >> ops.Categorify(encode_type="joint"))
+    wf.fit(ds)
+    from nvtabular_tpu.io.stream_fuse import extract_stream_spec
+
+    spec = extract_stream_spec(wf)
+    if spec is None:
+        pytest.skip("joint spec unsupported on this build")
+    os.environ["NVT_NATIVE_PARQUET_MIN_ROWS"] = "1"
+    try:
+        d = str(tmp_path / "joint")
+        wf.transform(ds).to_parquet(d, shuffle="per_worker", output_files=1)
+    finally:
+        os.environ.pop("NVT_NATIVE_PARQUET_MIN_ROWS", None)
+    got = pq.read_table(os.path.join(d, "part_0.parquet"))
+    from nvtabular_tpu.dag.host_fuse import FusedHostExecutor
+
+    expect = FusedHostExecutor().transform_batch(
+        list(ds.to_batches())[0], wf.graph.output_node
+    )
+    # same multiset per column (one file, shuffled order)
+    for c in ("src", "dst"):
+        assert np.array_equal(
+            np.sort(got.column(c).to_numpy()),
+            np.sort(np.asarray(expect[c].values).astype(np.int32)),
+        ), c
+    # joint contract: the same raw id maps to the same code in BOTH columns
+    raw = list(ds.to_batches())[0]
+    m_src = dict(zip(np.asarray(raw["src"].values).tolist(), np.asarray(expect["src"].values).tolist()))
+    m_dst = dict(zip(np.asarray(raw["dst"].values).tolist(), np.asarray(expect["dst"].values).tolist()))
+    for k in set(m_src) & set(m_dst):
+        assert m_src[k] == m_dst[k]
